@@ -1,0 +1,17 @@
+"""Test harness config: force CPU JAX with an 8-device virtual mesh.
+
+Must run before any `import jax` (pytest loads conftest first).  Device tests
+exercise the same code paths that run on TPU; sharding tests use the 8
+virtual CPU devices as a stand-in mesh.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

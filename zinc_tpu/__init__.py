@@ -1,0 +1,44 @@
+"""zinc-tpu: a TPU-native implementation of the Zinc SNARK system.
+
+Spartan over a CCS of integers + the Zip multilinear PCS (RAA linear codes,
+BLAKE3 Merkle trees), with the witness arithmetized over ℤ and projected into
+a Fiat-Shamir-derived random prime field at proof time.
+
+Built for TPU: prover hot paths (limb/Montgomery arithmetic, sumcheck folds,
+RAA encoding, Merkle hashing) run as batched JAX/XLA/Pallas kernels over
+16-bit-limb arrays; protocol logic and Fiat-Shamir chaining run on host.
+The host backend is also a complete reference implementation used as the
+bit-exactness oracle.
+
+Public API (the equivalent of the reference's ``zinc::prelude``,
+/root/reference/src/zinc.rs:12-24):
+"""
+
+from .ccs import CCS, CSError, Statement, Witness
+from .fields.config import FieldConfig, Fp
+from .prime import draw_random_field
+from .transcript import KeccakTranscript
+from .zinc import ZincError, ZincProof, ZincProver, ZincVerifier
+from .zip.code import DefaultLinearCodeSpec, LinearCodeSpec, RaaCode, ZipLinearCode, ZipTypes
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CCS",
+    "CSError",
+    "Statement",
+    "Witness",
+    "FieldConfig",
+    "Fp",
+    "draw_random_field",
+    "KeccakTranscript",
+    "ZincError",
+    "ZincProof",
+    "ZincProver",
+    "ZincVerifier",
+    "DefaultLinearCodeSpec",
+    "LinearCodeSpec",
+    "RaaCode",
+    "ZipLinearCode",
+    "ZipTypes",
+]

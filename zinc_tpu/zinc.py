@@ -1,0 +1,160 @@
+"""The Zinc protocol: Spartan over a CCS of integers + Zip PCS binding.
+
+Mirrors /root/reference/src/zinc/: the prover projects the integer statement
+into the Fiat-Shamir-derived random field, runs the Spartan two-sumcheck
+PIOP, then commits to the integer witness MLE with the RAA-code Zip PCS and
+proves its evaluation at r_y.  The verifier re-derives the field from the
+public input (rejecting on mismatch), verifies Spartan, verifies the PCS
+opening, and closes with Σⱼ γʲ·M̃ⱼ(r_x‖r_y)·v == e_y — evaluated sparsely in
+O(nnz) rather than via the reference's dense matrix MLE materialization
+(verifier.rs:249-261).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .ccs import CCS, Statement, Witness
+from .fields.config import FieldConfig, Fp
+from .poly.mle import DenseMleZ
+from .prime import draw_random_field
+from .sparse import evaluate_mle
+from .spartan import (
+    SpartanError,
+    SpartanProof,
+    lin_comb_gamma,
+    spartan_prove,
+    spartan_verify,
+)
+from .transcript import KeccakTranscript
+from .zip.code import DefaultLinearCodeSpec, LinearCodeSpec, RaaCode, ZipTypes
+from .zip.pcs import ZipCommitment, commit, open_poly, setup, verify_poly
+from .zip.transcript import PcsTranscript
+
+
+class ZincError(Exception):
+    pass
+
+
+@dataclass
+class ZipProof:
+    z_comm: ZipCommitment
+    v: Fp
+    pcs_proof: bytes
+
+
+@dataclass
+class ZincProof:
+    spartan_proof: SpartanProof
+    zip_proof: ZipProof
+
+
+def prepare_for_random_field_piop(
+    statement: Statement, wit: Witness, ccs: CCS, cfg: FieldConfig
+):
+    """z = (io ‖ 1 ‖ w) padded to m; integer z-MLE; field projections."""
+    z_ccs = statement.get_z_vector(wit.w_ccs)
+    if len(z_ccs) <= ccs.m:
+        z_ccs = z_ccs + [0] * (ccs.m - len(z_ccs))
+    z_mle = DenseMleZ(ccs.s_prime, z_ccs)
+    z_ccs_f = [cfg.fp(v) for v in z_ccs]
+    ccs_f = ccs.map_to_field(cfg)
+    statement_f = statement.map_to_field(cfg)
+    return z_ccs_f, z_mle, ccs_f, statement_f
+
+
+class ZincProver:
+    def __init__(self, zt: ZipTypes, lc_spec: LinearCodeSpec | None = None):
+        self.zt = zt
+        self.lc_spec = lc_spec or DefaultLinearCodeSpec()
+
+    def prove(
+        self,
+        statement: Statement,
+        wit: Witness,
+        transcript: KeccakTranscript,
+        ccs: CCS,
+        cfg: FieldConfig,
+    ) -> ZincProof:
+        z_ccs, z_mle, ccs_f, statement_f = prepare_for_random_field_piop(
+            statement, wit, ccs, cfg
+        )
+
+        spartan_proof, r_y = spartan_prove(statement_f, z_ccs, z_mle, ccs_f, transcript, cfg)
+
+        zip_proof = self._commit_and_prove_evaluation(
+            z_mle, ccs_f, r_y, transcript, cfg
+        )
+
+        return ZincProof(spartan_proof=spartan_proof, zip_proof=zip_proof)
+
+    def _commit_and_prove_evaluation(
+        self,
+        z_mle: DenseMleZ,
+        ccs_f: CCS,
+        r_y: list[Fp],
+        transcript: KeccakTranscript,
+        cfg: FieldConfig,
+    ) -> ZipProof:
+        code = RaaCode(self.lc_spec, ccs_f.m, transcript, self.zt)
+        pp = setup(ccs_f.m, code, self.zt)
+        data, z_comm = commit(pp, z_mle)
+        pcs_transcript = PcsTranscript()
+        v = z_mle.map_to_field(cfg).evaluate(r_y)
+        open_poly(pp, z_mle, data, r_y, cfg, pcs_transcript)
+        return ZipProof(z_comm=z_comm, v=v, pcs_proof=pcs_transcript.into_proof())
+
+
+class ZincVerifier:
+    def __init__(self, zt: ZipTypes, lc_spec: LinearCodeSpec | None = None):
+        self.zt = zt
+        self.lc_spec = lc_spec or DefaultLinearCodeSpec()
+
+    def verify(
+        self,
+        statement: Statement,
+        proof: ZincProof,
+        transcript: KeccakTranscript,
+        ccs: CCS,
+        cfg: FieldConfig,
+    ) -> None:
+        drawn = draw_random_field(
+            statement.public_input, transcript, self.zt.n_words, cfg.n64
+        )
+        if drawn != cfg:
+            raise ZincError("field config mismatch: wrong public input binding")
+
+        ccs_f = ccs.map_to_field(cfg)
+        statement_f = statement.map_to_field(cfg)
+
+        try:
+            points = spartan_verify(proof.spartan_proof, ccs_f, transcript, cfg)
+        except SpartanError as e:
+            raise ZincError(f"Spartan verification failed: {e}") from e
+
+        self._verify_pcs_proof(statement_f, proof.zip_proof, points, ccs_f, transcript, cfg)
+
+    def _verify_pcs_proof(
+        self,
+        statement_f: Statement,
+        zip_proof: ZipProof,
+        points,
+        ccs_f: CCS,
+        transcript: KeccakTranscript,
+        cfg: FieldConfig,
+    ) -> None:
+        code = RaaCode(self.lc_spec, ccs_f.m, transcript, self.zt)
+        pp = setup(ccs_f.m, code, self.zt)
+        pcs_transcript = PcsTranscript.from_proof(zip_proof.pcs_proof)
+        r_x = points.rx_ry[: ccs_f.s]
+        r_y = points.rx_ry[ccs_f.s :]
+
+        try:
+            verify_poly(pp, zip_proof.z_comm, r_y, zip_proof.v, pcs_transcript, cfg)
+        except Exception as e:
+            raise ZincError(f"PCS verification failed: {e}") from e
+
+        # Final check: Σⱼ γʲ·M̃ⱼ(r_x‖r_y)·v == e_y (sparse evaluation)
+        v_xy = [evaluate_mle(m, r_x, r_y, cfg) for m in statement_f.constraints]
+        if not lin_comb_gamma(points.gamma, v_xy) * zip_proof.v == points.e_y:
+            raise ZincError("gamma combination of matrix evaluations != e_y")

@@ -1,17 +1,22 @@
-"""Test harness config: force CPU JAX with an 8-device virtual mesh.
+"""Test harness config: force the CPU backend with an 8-device virtual mesh.
 
-Must run before any `import jax` (pytest loads conftest first).  Device tests
-exercise the same code paths that run on TPU; sharding tests use the 8
-virtual CPU devices as a stand-in mesh.
+This environment's sitecustomize imports jax and pins JAX_PLATFORMS=axon (the
+remote TPU tunnel) before any user code runs, so plain env vars are too late;
+`jax.config.update` still works because backends initialize lazily.  Tests
+must NOT run against the tunnel — per-op dispatch over it is ~50s/op eager.
+Device tests exercise the same jitted code paths that run on TPU.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
-import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,174 @@
+"""Device sumcheck executor: the fused fold-and-evaluate round kernel.
+
+This is hot loop #1 of the system (the reference's per-round Jolt-style
+stepping, /root/reference/src/sumcheck/prover.rs:62-179, re-designed for
+XLA): the MLE tables stay HBM-resident as one stacked (n_mles, B, L) uint32
+array; each round runs ONE jitted kernel that
+
+  1. folds the previous challenge into every table (reshape-pair, no gathers),
+  2. evaluates the monomial combination at points 0..=degree by incremental
+     stepping (vals += Δ), entirely in Montgomery limb arithmetic,
+  3. lazily accumulates the d+1 hypercube sums as wide limb integers
+     (no modular reduction inside the batch sum).
+
+Only the (d+1) wide sums cross back to the host per round (a few hundred
+bytes); the host reduces them mod q, runs the Fiat-Shamir absorption, and
+feeds the next challenge back.  Kernels are cached per (shape, degree); the
+shapes repeat across rounds/proofs so each compiles once per process.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.config import FieldConfig, Fp
+from ..fields.limbs import limbs_to_int
+from ..fields.montgomery import (
+    DeviceField,
+    device_field,
+    lazy_sum,
+    mont_add,
+    mont_mul,
+    mont_sub,
+)
+from ..poly.device import fps_to_limbs, limbs_to_fp
+
+
+def _comb_batch(ctx: DeviceField, vals: jnp.ndarray, coeffs: jnp.ndarray, idx_terms) -> jnp.ndarray:
+    """comb over a batch: vals (n_mles, B, L), coeffs (n_terms, L) →
+    Σ_k coeff_k · Π_{j∈idx_terms[k]} vals[j]  as (B, L)."""
+    acc = None
+    for k, idxs in enumerate(idx_terms):
+        term = jnp.broadcast_to(coeffs[k], vals.shape[1:])
+        for j in idxs:
+            term = mont_mul(ctx, term, vals[j])
+        acc = term if acc is None else mont_add(ctx, acc, term)
+    return acc
+
+
+def _comb_batch_points(
+    ctx: DeviceField, vals: jnp.ndarray, coeffs: jnp.ndarray, idx_terms
+) -> jnp.ndarray:
+    """comb with a leading points axis: vals (P, n_mles, B, L) → (P, B, L)."""
+    p, _, b, l = vals.shape
+    acc = None
+    for k, idxs in enumerate(idx_terms):
+        term = jnp.broadcast_to(coeffs[k], (p, b, l))
+        for j in idxs:
+            term = mont_mul(ctx, term, vals[:, j])
+        acc = term if acc is None else mont_add(ctx, acc, term)
+    return acc
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _round_kernel(
+    ctx: DeviceField,
+    tables: jnp.ndarray,  # (n_mles, B, L)
+    r_and_coeffs: tuple,
+    first: bool,
+    degree: int,
+    idx_terms: tuple,
+):
+    """One sumcheck round.  The d+1 evaluation points ride a leading batch
+    axis so the whole round is a constant number of limb kernels regardless
+    of degree — compile time stays flat and the VPU sees bigger batches."""
+    r, coeffs = r_and_coeffs
+    if not first:
+        b = tables.shape[1]
+        pairs = tables.reshape(tables.shape[0], b // 2, 2, tables.shape[2])
+        left, right = pairs[:, :, 0, :], pairs[:, :, 1, :]
+        tables = mont_add(ctx, left, mont_mul(ctx, mont_sub(ctx, right, left), r))
+
+    b = tables.shape[1]
+    pairs = tables.reshape(tables.shape[0], b // 2, 2, tables.shape[2])
+    v0, v1 = pairs[:, :, 0, :], pairs[:, :, 1, :]
+
+    if degree == 0:
+        comb0 = _comb_batch(ctx, v0[None], coeffs, idx_terms)  # (1, B/2, L)
+        return tables, lazy_sum(ctx, comb0, axis=1)
+
+    # vals[t] = v1 + (t-1)·step, built incrementally, stacked on axis 0
+    step = mont_sub(ctx, v1, v0)
+    points = [v0, v1]
+    cur = v1
+    for _ in range(2, degree + 1):
+        cur = mont_add(ctx, cur, step)
+        points.append(cur)
+    vals = jnp.stack(points, axis=0)  # (P, n_mles, B/2, L)
+
+    comb = _comb_batch_points(ctx, vals, coeffs, idx_terms)  # (P, B/2, L)
+    return tables, lazy_sum(ctx, comb, axis=1)  # (P, Lwide)
+
+
+@partial(jax.jit, static_argnums=0)
+def _final_fold(ctx: DeviceField, tables: jnp.ndarray, r: jnp.ndarray):
+    b = tables.shape[1]
+    pairs = tables.reshape(tables.shape[0], b // 2, 2, tables.shape[2])
+    left, right = pairs[:, :, 0, :], pairs[:, :, 1, :]
+    return mont_add(ctx, left, mont_mul(ctx, mont_sub(ctx, right, left), r))
+
+
+class DeviceSumcheckExecutor:
+    """Runs sumcheck rounds on device for a stacked set of MLE tables."""
+
+    def __init__(self, cfg: FieldConfig, tables: jnp.ndarray, degree: int, comb):
+        """tables: (n_mles, 2^nv, L) Montgomery limbs; comb: CombSpec."""
+        self.cfg = cfg
+        self.ctx = device_field(cfg)
+        self.tables = tables
+        self.degree = degree
+        self.coeffs = jnp.asarray(fps_to_limbs([c for c, _ in comb], cfg))
+        self.idx_terms = tuple(tuple(idxs) for _, idxs in comb)
+
+    def round(self, r_prev: Fp | None) -> list[Fp]:
+        first = r_prev is None
+        r = jnp.asarray(
+            fps_to_limbs([r_prev if r_prev is not None else self.cfg.zero()], self.cfg)[0]
+        )
+        self.tables, wide = _round_kernel(
+            self.ctx, self.tables, (r, self.coeffs), first, self.degree, self.idx_terms
+        )
+        wide_np = np.asarray(wide)
+        return [
+            self.cfg.fp_from_mont(limbs_to_int(wide_np[t]) % self.cfg.q)
+            for t in range(wide_np.shape[0])
+        ]
+
+    def final_fold(self, r: Fp) -> jnp.ndarray:
+        """Fold the last challenge; returns (n_mles, 1, L) fully-evaluated."""
+        rl = jnp.asarray(fps_to_limbs([r], self.cfg)[0])
+        self.tables = _final_fold(self.ctx, self.tables, rl)
+        return self.tables
+
+    def final_values(self) -> list[Fp]:
+        assert self.tables.shape[1] == 1
+        arr = np.asarray(self.tables[:, 0, :])
+        return [limbs_to_fp(arr[i], self.cfg) for i in range(arr.shape[0])]
+
+
+def prove_as_subprotocol_device(
+    transcript,
+    executor: DeviceSumcheckExecutor,
+    nvars: int,
+    degree: int,
+    cfg: FieldConfig,
+):
+    """Transcript-identical device variant of sumcheck.prove_as_subprotocol."""
+    from .prover import _absorb_nvars_degree
+
+    _absorb_nvars_degree(transcript, nvars, degree, cfg)
+    randomness: list[Fp] = []
+    proof = []
+    for rnd in range(nvars):
+        evals = executor.round(randomness[-1] if rnd > 0 else None)
+        transcript.absorb_field_slice(evals)
+        proof.append(evals)
+        r = transcript.get_challenge(cfg)
+        transcript.absorb_field(r)
+        randomness.append(r)
+    executor.final_fold(randomness[-1])
+    return proof, randomness

@@ -50,7 +50,8 @@ def mul_columns(a: jnp.ndarray, b: jnp.ndarray, out_cols: int | None = None) -> 
     """
     la, lb = a.shape[-1], b.shape[-1]
     nc = out_cols if out_cols is not None else la + lb
-    outer = (a[..., :, None] * b[..., None, :]).reshape(a.shape[:-1] + (la * lb,))
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    outer = (a[..., :, None] * b[..., None, :]).reshape(batch + (la * lb,))
     # Contract the anti-diagonals in f32: lo/hi < 2^16 and column sums < 2^24,
     # so every value is exactly representable; on TPU this is an MXU matmul,
     # and it compiles orders of magnitude faster than an integer GEMM.

@@ -64,9 +64,18 @@ def prepare_for_random_field_piop(
 
 
 class ZincProver:
-    def __init__(self, zt: ZipTypes, lc_spec: LinearCodeSpec | None = None):
+    """Top-level prover.  ``backend="device"`` runs every hot path (field
+    projection, Mz matvecs, sumcheck folds, RAA encode, Merkle hashing,
+    opening matvecs) on the JAX device; ``backend="host"`` is the pure-Python
+    reference path.  Both produce bit-identical proofs."""
+
+    def __init__(
+        self, zt: ZipTypes, lc_spec: LinearCodeSpec | None = None, backend: str = "host"
+    ):
         self.zt = zt
         self.lc_spec = lc_spec or DefaultLinearCodeSpec()
+        assert backend in ("host", "device")
+        self.backend = backend
 
     def prove(
         self,
@@ -76,6 +85,8 @@ class ZincProver:
         ccs: CCS,
         cfg: FieldConfig,
     ) -> ZincProof:
+        if self.backend == "device":
+            return self._prove_device(statement, wit, transcript, ccs, cfg)
         z_ccs, z_mle, ccs_f, statement_f = prepare_for_random_field_piop(
             statement, wit, ccs, cfg
         )
@@ -86,6 +97,39 @@ class ZincProver:
             z_mle, ccs_f, r_y, transcript, cfg
         )
 
+        return ZincProof(spartan_proof=spartan_proof, zip_proof=zip_proof)
+
+    def _prove_device(
+        self,
+        statement: Statement,
+        wit: Witness,
+        transcript: KeccakTranscript,
+        ccs: CCS,
+        cfg: FieldConfig,
+    ) -> ZincProof:
+        import numpy as np
+
+        from .spartan_dev import DeviceStatement, spartan_prove_device, z_to_device
+        from .zip.device import commit_device, open_device
+
+        z_ccs = statement.get_z_vector(wit.w_ccs)
+        if len(z_ccs) <= ccs.m:
+            z_ccs = z_ccs + [0] * (ccs.m - len(z_ccs))
+
+        dstatement = DeviceStatement.upload(cfg, statement)
+        z_f = z_to_device(cfg, z_ccs)
+        spartan_proof, r_y, v = spartan_prove_device(dstatement, z_f, ccs, transcript, cfg)
+
+        code = RaaCode(self.lc_spec, ccs.m, transcript, self.zt)
+        pp = setup(ccs.m, code, self.zt)
+        if all(-(1 << 63) <= x < (1 << 63) for x in z_ccs):
+            z_vals = np.array(z_ccs, np.int64)
+        else:
+            z_vals = z_ccs
+        data, z_comm = commit_device(pp, z_vals, cfg)
+        pcs_transcript = PcsTranscript()
+        open_device(pp, z_vals, z_f, data, r_y, cfg, pcs_transcript)
+        zip_proof = ZipProof(z_comm=z_comm, v=v, pcs_proof=pcs_transcript.into_proof())
         return ZincProof(spartan_proof=spartan_proof, zip_proof=zip_proof)
 
     def _commit_and_prove_evaluation(

@@ -1,0 +1,178 @@
+"""Device Zip PCS: RAA encoding, Merkle hashing, and opening on TPU.
+
+Hot loops #2 and #3 of the system.  The commit path runs entirely on device:
+
+    witness ints → K-width limbs → repeat → gather(σ₁) → cumsum → gather(σ₂)
+    → cumsum → batched BLAKE3 leaves → log-depth batched level merges
+
+(the two seeded permutations are host-precomputed index arrays; the
+accumulations are per-limb cumulative sums — see fields/integers.py).
+
+The open path computes the proximity combined row (signed-magnitude f32
+matmul) and the q₀ᵀ·U field row (Montgomery broadcast-multiply + lazy sum)
+on device, then assembles the 1000 column openings from the downloaded
+layer arrays with bulk numpy serialization — the byte stream is identical
+to the host backend's.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.config import FieldConfig
+from ..fields.integers import (
+    combine_rows_signed,
+    cumsum_wrap,
+    i64_to_mag8,
+    ints_to_mag8,
+    sign_extend,
+)
+from ..fields.limbs import carry_sweep, i64_to_limbs, ints_to_limbs
+from ..fields.montgomery import device_field, lazy_sum, mod_reduce_wide, mont_mul
+from ..ops.blake3_kernel import merkle_tree_device
+from ..poly.device import build_eq_table_device
+from .pcs import ZipCommitment, ZipParams
+from .transcript import PcsTranscript
+
+
+@dataclass
+class DeviceZipData:
+    """Prover-side commitment data, downloaded for proof assembly."""
+
+    enc_limbs: np.ndarray  # (R, cw, Lk) uint32 two's-complement limbs
+    layers: list  # list[np.ndarray (R, n_level, 8) uint32], leaves first
+    roots: list  # list[bytes]
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _raa_encode_rows(z_limbs: jnp.ndarray, row_len: int, rep: int, lk: int, p1, p2):
+    """(R·row_len, Ln) limbs → (R, cw, Lk) encoded rows."""
+    r = z_limbs.shape[0] // row_len
+    rows = sign_extend(z_limbs, lk).reshape(r, row_len, lk)
+    vec = jnp.concatenate([rows] * rep, axis=1)  # repeat
+    vec = vec[:, p1, :]
+    vec = cumsum_wrap(vec, axis=1)
+    vec = vec[:, p2, :]
+    vec = cumsum_wrap(vec, axis=1)
+    return vec
+
+
+def commit_device(
+    pp: ZipParams, z_values: np.ndarray | list, cfg: FieldConfig
+) -> tuple[DeviceZipData, ZipCommitment]:
+    """Device commit; byte-identical trees/roots to zip.pcs.commit."""
+    row_len = pp.code.row_len
+    rep = pp.code.repetition_factor
+    lk = 4 * pp.zt.k_words  # 16-bit limbs of width K
+    p1, p2 = pp.code.permutations()
+
+    if isinstance(z_values, np.ndarray) and z_values.dtype == np.int64:
+        z_limbs = jnp.asarray(i64_to_limbs(z_values, 4 * pp.zt.n_words))
+    else:
+        z_limbs = jnp.asarray(ints_to_limbs(list(z_values), 4 * pp.zt.n_words))
+    assert z_limbs.shape[0] == pp.num_rows * row_len
+
+    enc = _raa_encode_rows(
+        z_limbs, row_len, rep, lk, jnp.asarray(p1), jnp.asarray(p2)
+    )
+    layers_dev = merkle_tree_device(enc, pp.zt.k_words)
+    enc_np = np.asarray(enc)
+    layers = [np.asarray(l) for l in layers_dev]
+    roots = [layers[-1][r, 0].astype("<u4").tobytes() for r in range(enc_np.shape[0])]
+    return DeviceZipData(enc_np, layers, roots), ZipCommitment(roots)
+
+
+def _write_limb_ints(transcript: PcsTranscript, arr: np.ndarray) -> None:
+    """Bulk write two's-complement limb arrays (..., L) as LE integer bytes."""
+    transcript._write(arr.astype("<u2").tobytes())
+
+
+def _field_row_bytes(cfg: FieldConfig, limbs: np.ndarray) -> list[bytes]:
+    """(C, L) Montgomery limbs → per-element big-endian byte strings."""
+    c, l = limbs.shape
+    swapped = (((limbs & 0xFF) << 8) | (limbs >> 8)).astype(np.uint16)  # bswap16
+    be = swapped[:, ::-1]  # most-significant limb first
+    raw = be.astype("<u2").tobytes()
+    step = 2 * l
+    return [raw[i * step : (i + 1) * step] for i in range(c)]
+
+
+def open_device(
+    pp: ZipParams,
+    z_values: np.ndarray,  # int64 (fast path) — the poly evaluations
+    z_f: jnp.ndarray,  # (m, L) field projection of z (device, Montgomery)
+    data: DeviceZipData,
+    point: list,
+    cfg: FieldConfig,
+    transcript: PcsTranscript,
+) -> None:
+    """Device open; proof bytes identical to zip.pcs.open_poly."""
+    row_len = pp.code.row_len
+    codeword_len = pp.code.codeword_len()
+    num_rows = pp.num_rows
+    kw = pp.zt.k_words
+    ctx = device_field(cfg)
+
+    # ---- testing phase: proximity rows ------------------------------------
+    if num_rows > 1:
+        if isinstance(z_values, np.ndarray) and z_values.dtype == np.int64:
+            e_mag8, e_sign = i64_to_mag8(z_values)
+        else:
+            e_mag8, e_sign = ints_to_mag8(list(z_values), 8 * pp.zt.n_words)
+        e_mag8 = e_mag8.reshape(num_rows, row_len, -1)
+        e_sign = e_sign.reshape(num_rows, row_len)
+        for _ in range(pp.code.num_proximity_testing()):
+            coeffs = transcript.fs.get_integer_challenges(num_rows, pp.zt.n_words)
+            c_mag8, c_sign = ints_to_mag8(coeffs, 8 * pp.zt.n_words)
+            combined = combine_rows_signed(
+                jnp.asarray(c_mag8),
+                jnp.asarray(c_sign),
+                jnp.asarray(e_mag8),
+                jnp.asarray(e_sign),
+                4 * pp.zt.m_words,
+            )
+            _write_limb_ints(transcript, np.asarray(combined))
+
+    # ---- testing phase: column openings ------------------------------------
+    depth = (codeword_len - 1).bit_length() if codeword_len > 1 else 0
+    path_block = np.empty((num_rows, 8 + depth * 32), dtype=np.uint8)
+    path_block[:, :8] = np.frombuffer(depth.to_bytes(8, "big"), np.uint8)
+    for _ in range(pp.code.num_column_opening()):
+        column = transcript.squeeze_challenge_idx(cfg, codeword_len)
+        col_vals = data.enc_limbs[:, column, :]  # (R, Lk)
+        _write_limb_ints(transcript, col_vals)
+        idx = column
+        for lvl in range(depth):
+            sib = data.layers[lvl][:, idx ^ 1, :]  # (R, 8) uint32
+            path_block[:, 8 + lvl * 32 : 8 + (lvl + 1) * 32] = (
+                sib.astype("<u4").view(np.uint8).reshape(num_rows, 32)
+            )
+            idx >>= 1
+        transcript._write(path_block.tobytes())
+
+    # ---- evaluation phase ---------------------------------------------------
+    log_rows = num_rows.bit_length() - 1
+    lo = point[len(point) - log_rows :]
+    if lo:
+        q0 = build_eq_table_device(cfg, lo)  # (R, L)
+        e_f = z_f.reshape(num_rows, row_len, -1)
+        prod = mont_mul(ctx, q0[:, None, :], e_f)  # (R, C, L)
+        wide = lazy_sum(ctx, prod, axis=0)  # (C, Lw)
+        combined_f = mod_reduce_wide(ctx, wide)  # (C, L)
+    else:
+        combined_f = z_f
+    elems = _field_row_bytes(cfg, np.asarray(combined_f))
+    for eb in elems:
+        # absorb exactly like write_field_element (modulus framing + value)
+        transcript.fs.h.update(b"\x03")
+        transcript.fs.h.update(cfg.modulus_bytes_be())
+        transcript.fs.h.update(b"\x05")
+        transcript.fs.h.update(b"\x01")
+        transcript.fs.h.update(eb)
+        transcript.fs.h.update(b"\x03")
+        transcript._write(eb)

@@ -1,0 +1,89 @@
+"""Sharded (8-virtual-device mesh) prover must be bit-identical to unsharded.
+
+The reference has no multi-device analog; these are the shard-invariance
+tests SURVEY.md §4 calls for: transcripts, roots, and full proofs must not
+depend on the mesh layout.
+"""
+
+import random
+
+import jax
+import pytest
+
+from zinc_tpu.ccs import dummy_ccs_of_size
+from zinc_tpu.parallel import local_mesh
+from zinc_tpu.prime import draw_random_field
+from zinc_tpu.transcript import KeccakTranscript
+from zinc_tpu.zinc import ZincProver, ZincVerifier
+from zinc_tpu.zip.code import ZipTypes
+
+ZT = ZipTypes(1)
+FIELD_LIMBS = 4
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return local_mesh(8)
+
+
+def _prove(backend_mesh, statement, wit, ccs):
+    t = KeccakTranscript()
+    cfg = draw_random_field(statement.public_input, t, ZT.n_words, FIELD_LIMBS)
+    prover = ZincProver(ZT, backend="device", mesh=backend_mesh)
+    return cfg, prover.prove(statement, wit, t, ccs, cfg)
+
+
+def test_sharded_prove_bit_identical_and_verifies(mesh):
+    rng = random.Random(33)
+    _, ccs, statement, wit = dummy_ccs_of_size(1 << 6, rng, int_bits=62)
+
+    cfg_u, proof_u = _prove(None, statement, wit, ccs)
+    cfg_s, proof_s = _prove(mesh, statement, wit, ccs)
+    assert cfg_u == cfg_s
+
+    assert proof_s.spartan_proof.linearization_sumcheck == proof_u.spartan_proof.linearization_sumcheck
+    assert proof_s.spartan_proof.second_sumcheck == proof_u.spartan_proof.second_sumcheck
+    assert proof_s.spartan_proof.V_s == proof_u.spartan_proof.V_s
+    assert proof_s.zip_proof.v == proof_u.zip_proof.v
+    assert proof_s.zip_proof.z_comm.roots == proof_u.zip_proof.z_comm.roots
+    assert proof_s.zip_proof.pcs_proof == proof_u.zip_proof.pcs_proof
+
+    ZincVerifier(ZT).verify(statement, proof_s, KeccakTranscript(), ccs, cfg_s)
+
+
+def test_sharded_sumcheck_matches_host(mesh):
+    """Sharded executor alone vs the host sumcheck prover on a random comb."""
+    from zinc_tpu.parallel.sumcheck import ShardedSumcheckExecutor
+    from zinc_tpu.poly.device import fps_to_limbs
+    from zinc_tpu.sumcheck.device import DeviceSumcheckExecutor
+
+    import jax.numpy as jnp
+
+    rng = random.Random(7)
+    t = KeccakTranscript()
+    t.absorb(b"seed")
+    cfg = draw_random_field([123], KeccakTranscript(), ZT.n_words, FIELD_LIMBS)
+
+    nv, n_mles = 6, 3
+    tables_f = [
+        [cfg.fp(rng.randrange(cfg.q)) for _ in range(1 << nv)] for _ in range(n_mles)
+    ]
+    stacked = jnp.stack([jnp.asarray(fps_to_limbs(tf, cfg)) for tf in tables_f])
+    comb = [(cfg.one(), (0, 1, 2)), (cfg.fp(5), (1, 2))]
+
+    exs = ShardedSumcheckExecutor(cfg, stacked, 3, comb, mesh)
+    exd = DeviceSumcheckExecutor(cfg, stacked, 3, comb)
+
+    r_prev_s = r_prev_d = None
+    for rnd in range(nv):
+        es = exs.round(r_prev_s)
+        ed = exd.round(r_prev_d)
+        assert es == ed, f"round {rnd} diverged"
+        # drive both with the same (arbitrary but valid) challenge
+        r = cfg.fp(rng.randrange(cfg.q))
+        r_prev_s = r_prev_d = r
+    exs.final_fold(r_prev_s)
+    exd.final_fold(r_prev_d)
+    assert exs.final_values() == exd.final_values()

@@ -8,8 +8,13 @@ blocks — pure 32-bit add/xor/rotate, ideal VPU work, thousands of
 independent lanes deep.
 
 The message schedule is applied by static indexing (gathers resolved at
-trace time); the 7 rounds / 56 G-applications unroll into one fused XLA
-computation.
+trace time).  The 7 rounds run as a ``lax.scan`` over a (7, B, 16)
+pre-permuted message tensor: the scan carry materializes the 16 state
+vectors between rounds, which keeps the elementwise DAG shallow.  (A fully
+unrolled compress is *catastrophic* on XLA:CPU — its fused elementwise
+executor recomputes shared operands, so runtime grows ~160× per extra
+round; the scan form is also the right shape for TPU, where 7 iterations
+of a 64-op body fuse cleanly.)
 """
 
 from __future__ import annotations
@@ -49,19 +54,33 @@ def compress_batch(
 ) -> jnp.ndarray:
     """Batched BLAKE3 compression; returns the (B, 8) output chaining value."""
     b = cv.shape[0]
-    blv = jnp.broadcast_to(jnp.asarray(block_len, jnp.uint32), (b,))
-    state = [cv[:, i] for i in range(8)] + [
-        jnp.full((b,), _IV[0], jnp.uint32),
-        jnp.full((b,), _IV[1], jnp.uint32),
-        jnp.full((b,), _IV[2], jnp.uint32),
-        jnp.full((b,), _IV[3], jnp.uint32),
-        jnp.full((b,), np.uint32(counter & 0xFFFFFFFF), jnp.uint32),
-        jnp.full((b,), np.uint32((counter >> 32) & 0xFFFFFFFF), jnp.uint32),
+    # derive every state lane from msg so all 16 pick up msg's device-varying
+    # type (cv is often a broadcast constant) — required for the scan carry
+    # to typecheck inside shard_map
+    zero = msg[:, 0] ^ msg[:, 0]
+    blv = zero + jnp.asarray(block_len, jnp.uint32)
+    state = [cv[:, i] ^ zero for i in range(8)] + [
+        zero + _IV[0],
+        zero + _IV[1],
+        zero + _IV[2],
+        zero + _IV[3],
+        zero + np.uint32(counter & 0xFFFFFFFF),
+        zero + np.uint32((counter >> 32) & 0xFFFFFFFF),
         blv,
-        jnp.full((b,), np.uint32(flags), jnp.uint32),
+        zero + np.uint32(flags),
     ]
-    m = [msg[:, i] for i in range(16)]
-    for rnd in range(7):
+    # pre-permute the message for all 7 rounds: (7, B, 16)
+    perm = np.arange(16)
+    round_perms = []
+    for _ in range(7):
+        round_perms.append(perm.copy())
+        perm = perm[np.array(MSG_PERMUTATION)]
+    msgs = msg[:, np.stack(round_perms)]  # (B, 7, 16)
+    msgs = jnp.moveaxis(msgs, 1, 0)  # (7, B, 16)
+
+    def round_body(state, m_r):
+        state = list(state)
+        m = [m_r[:, i] for i in range(16)]
         _g(state, 0, 4, 8, 12, m[0], m[1])
         _g(state, 1, 5, 9, 13, m[2], m[3])
         _g(state, 2, 6, 10, 14, m[4], m[5])
@@ -70,8 +89,9 @@ def compress_batch(
         _g(state, 1, 6, 11, 12, m[10], m[11])
         _g(state, 2, 7, 8, 13, m[12], m[13])
         _g(state, 3, 4, 9, 14, m[14], m[15])
-        if rnd != 6:
-            m = [m[p] for p in MSG_PERMUTATION]
+        return tuple(state), None
+
+    state, _ = jax.lax.scan(round_body, tuple(state), msgs)
     return jnp.stack([state[i] ^ state[i + 8] for i in range(8)], axis=1)
 
 

@@ -51,10 +51,23 @@ def spartan_prove_device(
     ccs: CCS,  # integer-flavor CCS (c: ints)
     transcript: KeccakTranscript,
     cfg: FieldConfig,
+    mesh=None,
 ):
-    """Returns (SpartanProof, r_y, v) with v = z̃(r_y) for the PCS binding."""
+    """Returns (SpartanProof, r_y, v) with v = z̃(r_y) for the PCS binding.
+
+    With ``mesh`` given, the sumcheck eval tables are block-sharded over its
+    axis and each round closes with a psum (parallel/sumcheck.py); the
+    transcript is bit-identical either way.
+    """
     ctx = device_field(cfg)
     c_f = [cfg.fp(ci) for ci in ccs.c]
+
+    def make_executor(tables, degree, comb):
+        if mesh is not None:
+            from .parallel.sumcheck import ShardedSumcheckExecutor
+
+            return ShardedSumcheckExecutor(cfg, tables, degree, comb, mesh)
+        return DeviceSumcheckExecutor(cfg, tables, degree, comb)
 
     # ---- sumcheck 1 -------------------------------------------------------
     beta_s = squeeze_beta_challenges(transcript, ccs.s, cfg)
@@ -63,7 +76,7 @@ def spartan_prove_device(
     tables = jnp.concatenate([jnp.stack(mz), eq_beta[None]], axis=0)
     eq_idx = len(mz)
     comb1 = [(ci, tuple(ccs.S[i]) + (eq_idx,)) for i, ci in enumerate(c_f) if not ci.is_zero()]
-    ex1 = DeviceSumcheckExecutor(cfg, tables, ccs.d + 1, comb1)
+    ex1 = make_executor(tables, ccs.d + 1, comb1)
     proof1, r_x = prove_as_subprotocol_device(transcript, ex1, ccs.s, ccs.d + 1, cfg)
     finals1 = ex1.final_values()
     v_s = finals1[: len(mz)]
@@ -78,7 +91,7 @@ def spartan_prove_device(
         evals = table_j if evals is None else mont_add(ctx, mont_mul(ctx, evals, gamma_l), table_j)
     tables2 = jnp.stack([evals, z_f])
     comb2 = [(cfg.one(), (0, 1))]
-    ex2 = DeviceSumcheckExecutor(cfg, tables2, 2, comb2)
+    ex2 = make_executor(tables2, 2, comb2)
     proof2, r_y = prove_as_subprotocol_device(transcript, ex2, ccs.s, 2, cfg)
     v = ex2.final_values()[1]
 

@@ -64,8 +64,7 @@ def _comb_batch_points(
     return acc
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 5))
-def _round_kernel(
+def _round_body(
     ctx: DeviceField,
     tables: jnp.ndarray,  # (n_mles, B, L)
     r_and_coeffs: tuple,
@@ -75,7 +74,10 @@ def _round_kernel(
 ):
     """One sumcheck round.  The d+1 evaluation points ride a leading batch
     axis so the whole round is a constant number of limb kernels regardless
-    of degree — compile time stays flat and the VPU sees bigger batches."""
+    of degree — compile time stays flat and the VPU sees bigger batches.
+
+    Pure traced body (no jit) so the sharded executor (parallel/sumcheck.py)
+    can reuse it inside a shard_map with a trailing psum."""
     r, coeffs = r_and_coeffs
     if not first:
         b = tables.shape[1]
@@ -102,6 +104,18 @@ def _round_kernel(
 
     comb = _comb_batch_points(ctx, vals, coeffs, idx_terms)  # (P, B/2, L)
     return tables, lazy_sum(ctx, comb, axis=1)  # (P, Lwide)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _round_kernel(
+    ctx: DeviceField,
+    tables: jnp.ndarray,
+    r_and_coeffs: tuple,
+    first: bool,
+    degree: int,
+    idx_terms: tuple,
+):
+    return _round_body(ctx, tables, r_and_coeffs, first, degree, idx_terms)
 
 
 @partial(jax.jit, static_argnums=0)

@@ -70,12 +70,17 @@ class ZincProver:
     reference path.  Both produce bit-identical proofs."""
 
     def __init__(
-        self, zt: ZipTypes, lc_spec: LinearCodeSpec | None = None, backend: str = "host"
+        self,
+        zt: ZipTypes,
+        lc_spec: LinearCodeSpec | None = None,
+        backend: str = "host",
+        mesh=None,
     ):
         self.zt = zt
         self.lc_spec = lc_spec or DefaultLinearCodeSpec()
         assert backend in ("host", "device")
         self.backend = backend
+        self.mesh = mesh  # jax.sharding.Mesh → shard the device backend over it
 
     def prove(
         self,
@@ -118,7 +123,9 @@ class ZincProver:
 
         dstatement = DeviceStatement.upload(cfg, statement)
         z_f = z_to_device(cfg, z_ccs)
-        spartan_proof, r_y, v = spartan_prove_device(dstatement, z_f, ccs, transcript, cfg)
+        spartan_proof, r_y, v = spartan_prove_device(
+            dstatement, z_f, ccs, transcript, cfg, mesh=self.mesh
+        )
 
         code = RaaCode(self.lc_spec, ccs.m, transcript, self.zt)
         pp = setup(ccs.m, code, self.zt)
@@ -126,7 +133,12 @@ class ZincProver:
             z_vals = np.array(z_ccs, np.int64)
         else:
             z_vals = z_ccs
-        data, z_comm = commit_device(pp, z_vals, cfg)
+        if self.mesh is not None:
+            from .parallel.zip import commit_device_sharded
+
+            data, z_comm = commit_device_sharded(pp, z_vals, cfg, self.mesh)
+        else:
+            data, z_comm = commit_device(pp, z_vals, cfg)
         pcs_transcript = PcsTranscript()
         open_device(pp, z_vals, z_f, data, r_y, cfg, pcs_transcript)
         zip_proof = ZipProof(z_comm=z_comm, v=v, pcs_proof=pcs_transcript.into_proof())

@@ -1,0 +1,118 @@
+"""Headline benchmark: one Spartan sumcheck round over a 2^20 hypercube.
+
+This is hot loop #1 of the system (the per-round fold-and-evaluate of
+/root/reference/src/sumcheck/prover.rs:62-179, re-designed as a fused
+batched-limb kernel): 4 MLE tables (3 Mz products + eq) over a 256-bit
+Fiat-Shamir prime, degree-3 combination — exactly the shape of the first
+round of a 2^20-constraint Spartan prove (BASELINE.json config #4).
+
+Prints ONE JSON line:
+  value        — device round latency in ms (steady state, after warmup)
+  vs_baseline  — speedup vs the host reference backend (this repo's pure
+                 CPython bit-exactness oracle) on the same machine, measured
+                 on a 2^12 slice and scaled linearly to 2^20.  The reference
+                 Rust implementation publishes no numbers and cargo is not
+                 available in this image (BASELINE.md), so the oracle is the
+                 only baseline measurable here.
+
+Extra context (per-element throughput, host slice timing, platform) goes to
+stderr so stdout stays a single machine-readable line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _device_round_ms(cfg, n_mles: int, b: int, degree: int, idx_terms, iters: int = 3):
+    import jax
+
+    from zinc_tpu.fields.montgomery import device_field
+    from zinc_tpu.sumcheck.device import _round_kernel
+
+    ctx = device_field(cfg)
+    rng = np.random.default_rng(0)
+    l16 = cfg.n16
+    # values < 2^16 per limb; exact residues don't affect the op count
+    tables = rng.integers(0, 1 << 16, (n_mles, b, l16), dtype=np.uint32)
+    r = rng.integers(0, 1 << 16, (l16,), dtype=np.uint32)
+    coeffs = rng.integers(0, 1 << 16, (len(idx_terms), l16), dtype=np.uint32)
+
+    tables_d = jax.device_put(tables)
+    r_d = jax.device_put(r)
+    coeffs_d = jax.device_put(coeffs)
+
+    # warmup / compile
+    out = _round_kernel(ctx, tables_d, (r_d, coeffs_d), False, degree, idx_terms)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = _round_kernel(ctx, tables_d, (r_d, coeffs_d), False, degree, idx_terms)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def _host_round_ms(cfg, n_mles: int, b: int, degree: int, idx_terms):
+    """The host (pure-Python) reference backend on the same round shape."""
+    import random
+
+    from zinc_tpu.sumcheck.prover import _fold, _round_evals
+
+    rng = random.Random(0)
+    mles = [[cfg.fp(rng.randrange(cfg.q)) for _ in range(b)] for _ in range(n_mles)]
+    comb = [(cfg.one(), idxs) for idxs in idx_terms]
+    r = cfg.fp(rng.randrange(cfg.q))
+    t0 = time.perf_counter()
+    mles = _fold(mles, r)
+    _round_evals(mles, degree, comb, cfg)
+    return (time.perf_counter() - t0) * 1e3
+
+
+def main() -> None:
+    sys.path.insert(0, "/root/repo")
+    import jax
+
+    from zinc_tpu.fields.config import FieldConfig
+
+    platform = jax.devices()[0].platform
+    cfg = FieldConfig((1 << 255) + 95, 4)
+
+    n_mles, degree = 4, 3
+    idx_terms = ((0, 3), (1, 3), (2, 3))  # 3 matrices × eq (Spartan round 1 shape)
+    b_target = 1 << 20
+    # CPU fallback (no TPU attached): measure a 2^16 slab, scale linearly
+    b_dev = b_target if platform != "cpu" else 1 << 16
+
+    dev_ms = _device_round_ms(cfg, n_mles, b_dev, degree, idx_terms)
+    dev_ms_scaled = dev_ms * (b_target / b_dev)
+
+    b_host = 1 << 12
+    host_ms = _host_round_ms(cfg, n_mles, b_host, degree, idx_terms)
+    host_ms_scaled = host_ms * (b_target / b_host)
+
+    print(
+        f"[bench] platform={platform} b_dev={b_dev} dev_round={dev_ms:.2f}ms "
+        f"(scaled {dev_ms_scaled:.2f}ms @2^20 = "
+        f"{b_target / dev_ms_scaled * 1e3 / 1e6:.2f}M elem/s) | "
+        f"host slice {host_ms:.1f}ms @2^12 (scaled {host_ms_scaled:.0f}ms @2^20)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "spartan_sumcheck_round_2p20_256bit",
+                "value": round(dev_ms_scaled, 3),
+                "unit": "ms",
+                "vs_baseline": round(host_ms_scaled / dev_ms_scaled, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

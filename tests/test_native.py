@@ -1,0 +1,64 @@
+"""Native C++ host runtime (keccak/blake3) must match the pure-Python oracle."""
+
+import random
+
+import pytest
+
+from zinc_tpu.hashing.blake3 import blake3_py
+from zinc_tpu.hashing.keccak import Keccak256Py
+from zinc_tpu.native import blake3_batch, get_lib, merkle_fold_batch
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def test_keccak_native_matches_python(lib):
+    import ctypes
+
+    rng = random.Random(1)
+    for _ in range(50):
+        state = (ctypes.c_uint64 * 25)()
+        hp = Keccak256Py()
+        n_blocks = rng.randrange(0, 5)
+        blocks = bytes(rng.randrange(256) for _ in range(136 * n_blocks))
+        tail = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 136)))
+        lib.zn_keccak_absorb_blocks(state, blocks, n_blocks)
+        out = (ctypes.c_uint8 * 32)()
+        lib.zn_keccak_finalize(state, tail, len(tail), out)
+        hp.update(blocks + tail)
+        assert bytes(out) == hp.digest()
+
+
+def test_blake3_native_matches_python(lib):
+    import ctypes
+
+    rng = random.Random(2)
+    for ln in [0, 1, 31, 32, 63, 64, 65, 100, 1023, 1024, 1025, 2048, 4097, 66000]:
+        data = bytes(rng.randrange(256) for _ in range(ln))
+        out = (ctypes.c_uint8 * 32)()
+        lib.zn_blake3(data, ln, out)
+        assert bytes(out) == blake3_py(data), f"len={ln}"
+
+
+def test_blake3_batch_and_merkle_fold(lib):
+    rng = random.Random(3)
+    msgs = [bytes(rng.randrange(256) for _ in range(32)) for _ in range(16)]
+    batched = blake3_batch(b"".join(msgs), 16, 32)
+    assert batched is not None
+    for i, m in enumerate(msgs):
+        assert batched[32 * i : 32 * i + 32] == blake3_py(m)
+
+    # fold a real 3-deep tree
+    leaves = [blake3_py(m) for m in msgs[:8]]
+    level1 = [blake3_py(leaves[2 * i] + leaves[2 * i + 1]) for i in range(4)]
+    level2 = [blake3_py(level1[2 * i] + level1[2 * i + 1]) for i in range(2)]
+    root = blake3_py(level2[0] + level2[1])
+    idx = 5
+    path = [leaves[idx ^ 1], level1[(idx >> 1) ^ 1], level2[(idx >> 2) ^ 1]]
+    folded = merkle_fold_batch(leaves[idx], b"".join(path), [idx], 3)
+    assert folded == root

@@ -108,11 +108,30 @@ def _tree_cv(chunks: list[bytes], first_counter: int, is_root: bool) -> list[int
     return _parent_cv(left, right, is_root)
 
 
-def blake3(data: bytes) -> bytes:
-    """32-byte BLAKE3 hash (unkeyed)."""
+def blake3_py(data: bytes) -> bytes:
+    """32-byte BLAKE3 hash (unkeyed) — pure-Python reference path."""
     chunks = [data[i : i + CHUNK_LEN] for i in range(0, max(len(data), 1), CHUNK_LEN)]
     cv = _tree_cv(chunks, 0, True)
     return struct.pack("<8I", *cv)
+
+
+def _pick_impl():
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return blake3_py
+    import ctypes
+
+    def blake3_native(data: bytes) -> bytes:
+        out = (ctypes.c_uint8 * 32)()
+        lib.zn_blake3(data, len(data), out)
+        return bytes(out)
+
+    return blake3_native
+
+
+blake3 = _pick_impl()
 
 
 def blake3_parent(left: bytes, right: bytes) -> bytes:

@@ -82,7 +82,7 @@ def keccak_f1600(s: list[int]) -> None:
         s[0] ^= rc
 
 
-class Keccak256:
+class Keccak256Py:
     """Incremental Keccak-256 hasher (rate 136, output 32 bytes, pad 0x01/0x80)."""
 
     RATE = 136
@@ -94,8 +94,8 @@ class Keccak256:
         self._state: list[int] = [0] * 25
         self._buf = bytearray()
 
-    def copy(self) -> "Keccak256":
-        h = Keccak256.__new__(Keccak256)
+    def copy(self) -> "Keccak256Py":
+        h = Keccak256Py.__new__(Keccak256Py)
         h._state = list(self._state)
         h._buf = bytearray(self._buf)
         return h
@@ -130,6 +130,60 @@ class Keccak256:
 
     def hexdigest(self) -> str:
         return self.digest().hex()
+
+
+def _make_native_class(lib):
+    import ctypes
+
+    class Keccak256Native:
+        """Keccak-256 backed by the native runtime (native/zinc_native.cpp)."""
+
+        RATE = 136
+        DIGEST_SIZE = 32
+
+        __slots__ = ("_state", "_buf")
+
+        def __init__(self) -> None:
+            self._state = (ctypes.c_uint64 * 25)()
+            self._buf = bytearray()
+
+        def copy(self) -> "Keccak256Native":
+            h = Keccak256Native.__new__(Keccak256Native)
+            h._state = (ctypes.c_uint64 * 25)(*self._state)
+            h._buf = bytearray(self._buf)
+            return h
+
+        def update(self, data: bytes) -> "Keccak256Native":
+            self._buf += data
+            if len(self._buf) >= self.RATE:
+                n_blocks = len(self._buf) // self.RATE
+                lib.zn_keccak_absorb_blocks(
+                    self._state, bytes(self._buf[: n_blocks * self.RATE]), n_blocks
+                )
+                del self._buf[: n_blocks * self.RATE]
+            return self
+
+        def digest(self) -> bytes:
+            out = (ctypes.c_uint8 * 32)()
+            lib.zn_keccak_finalize(self._state, bytes(self._buf), len(self._buf), out)
+            return bytes(out)
+
+        def hexdigest(self) -> str:
+            return self.digest().hex()
+
+    return Keccak256Native
+
+
+def _pick_impl():
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        return _make_native_class(lib)
+    return Keccak256Py
+
+
+Keccak256 = _pick_impl()
 
 
 def keccak256(data: bytes) -> bytes:

@@ -192,6 +192,13 @@ def verify_poly(
             prox.append((coeffs, encoded_combined_row))
 
     columns_opened: list[tuple[int, list[int]]] = []
+    # collect (leaf bytes, sibling path, index) per opened (column, row) so
+    # the BLAKE3 path folds run as ONE native batch call (1000·num_rows paths)
+    pending_leaves: list[bytes] = []
+    pending_paths: list[bytes] = []
+    pending_indices: list[int] = []
+    pending_roots: list[bytes] = []
+    depth = None
     for _ in range(pp.code.num_column_opening()):
         column = transcript.squeeze_challenge_idx(cfg, codeword_len)
         column_values = transcript.read_integers(pp.num_rows, kw)
@@ -204,10 +211,42 @@ def verify_poly(
                 raise PcsError("proximity failure (integer phase)")
         for r, root in enumerate(comm.roots):
             path = transcript.read_merkle_path()
-            leaf = int_to_leaf_bytes(column_values[r], kw)
-            if not verify_merkle_path(root, leaf, column, path):
-                raise PcsError("Merkle path verification failed")
+            if depth is None:
+                depth = len(path)
+            elif depth != len(path):
+                raise PcsError("inconsistent Merkle path depth")
+            pending_leaves.append(int_to_leaf_bytes(column_values[r], kw))
+            pending_paths.append(b"".join(path))
+            pending_indices.append(column)
+            pending_roots.append(root)
         columns_opened.append((column, column_values))
+
+    if pending_leaves:
+        from ..hashing.blake3 import blake3
+        from ..native import blake3_batch, merkle_fold_batch
+
+        leaf_len = len(pending_leaves[0])
+        leaves_hashed = blake3_batch(
+            b"".join(pending_leaves), len(pending_leaves), leaf_len
+        )
+        if leaves_hashed is None:
+            leaves_hashed = b"".join(blake3(lb) for lb in pending_leaves)
+        folded = merkle_fold_batch(
+            leaves_hashed, b"".join(pending_paths), pending_indices, depth or 0
+        )
+        if folded is not None:
+            if any(
+                folded[32 * i : 32 * i + 32] != pending_roots[i]
+                for i in range(len(pending_roots))
+            ):
+                raise PcsError("Merkle path verification failed")
+        else:  # pure-Python fallback
+            for lb, pb, idx, root in zip(
+                pending_leaves, pending_paths, pending_indices, pending_roots
+            ):
+                path = [pb[32 * d : 32 * d + 32] for d in range(depth or 0)]
+                if not verify_merkle_path(root, lb, idx, path):
+                    raise PcsError("Merkle path verification failed")
 
     # ---- evaluation phase -------------------------------------------------
     q_0_combined_row = transcript.read_field_elements(row_len, cfg)

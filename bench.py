@@ -32,7 +32,7 @@ def _device_round_ms(cfg, n_mles: int, b: int, degree: int, idx_terms, iters: in
     import jax
 
     from zinc_tpu.fields.montgomery import device_field
-    from zinc_tpu.sumcheck.device import _round_kernel
+    from zinc_tpu.sumcheck.device import _round_kernel, _round_kernel_pallas, _use_pallas
 
     ctx = device_field(cfg)
     rng = np.random.default_rng(0)
@@ -45,15 +45,17 @@ def _device_round_ms(cfg, n_mles: int, b: int, degree: int, idx_terms, iters: in
     tables_d = jax.device_put(tables)
     r_d = jax.device_put(r)
     coeffs_d = jax.device_put(coeffs)
+    kernel = _round_kernel_pallas if _use_pallas(b) else _round_kernel
 
-    # warmup / compile
-    out = _round_kernel(ctx, tables_d, (r_d, coeffs_d), False, degree, idx_terms)
-    jax.block_until_ready(out)
+    # warmup / compile; np.asarray forces a real sync (block_until_ready can
+    # return early over the axon tunnel)
+    out = kernel(ctx, tables_d, (r_d, coeffs_d), False, degree, idx_terms)
+    np.asarray(out[1])
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = _round_kernel(ctx, tables_d, (r_d, coeffs_d), False, degree, idx_terms)
-        jax.block_until_ready(out)
+        out = kernel(ctx, tables_d, (r_d, coeffs_d), False, degree, idx_terms)
+        np.asarray(out[1])
     return (time.perf_counter() - t0) / iters * 1e3
 
 

@@ -1,0 +1,70 @@
+"""Zip PCS benchmark (mirror of /root/reference/benches/zip_benches.rs:225-268:
+encode_rows / merkle / commit / open / verify at poly sizes 2^12.., RAA code,
+DefaultLinearCodeSpec — device-backend commit/open, host verify).
+
+Usage: python benches/bench_zip.py [log2_n ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from zinc_tpu.fields.config import FieldConfig
+from zinc_tpu.ops.field_map import i64_to_field_device
+from zinc_tpu.zip.code import DefaultLinearCodeSpec, RaaCode, ZipTypes
+from zinc_tpu.zip.device import commit_device, open_device
+from zinc_tpu.zip.pcs import setup, verify_poly
+from zinc_tpu.zip.transcript import PcsTranscript
+from zinc_tpu.transcript import KeccakTranscript
+
+SIZES = [int(a) for a in sys.argv[1:]] or ([12, 14, 16] if jax.devices()[0].platform == "tpu" else [8])
+ZT = ZipTypes(1)
+
+
+def main() -> None:
+    cfg = FieldConfig((1 << 255) + 95, 4)
+    for log_n in SIZES:
+        n = 1 << log_n
+        rng = random.Random(7)
+        z_vals = np.array([rng.randrange(-(1 << 62), 1 << 62) for _ in range(n)], np.int64)
+        t = KeccakTranscript()
+        t.absorb(b"bench")
+        code = RaaCode(DefaultLinearCodeSpec(), n, t, ZT)
+        pp = setup(n, code, ZT)
+
+        t0 = time.perf_counter()
+        data, comm = commit_device(pp, z_vals, cfg)
+        commit_s = time.perf_counter() - t0
+
+        point = [cfg.fp(rng.randrange(cfg.q)) for _ in range(log_n)]
+        z_f = i64_to_field_device(cfg, z_vals)
+        pt = PcsTranscript()
+        t0 = time.perf_counter()
+        open_device(pp, z_vals, z_f, data, point, cfg, pt)
+        open_s = time.perf_counter() - t0
+
+        from zinc_tpu.poly.mle import DenseMleZ
+
+        v = DenseMleZ(log_n, list(z_vals)).map_to_field(cfg).evaluate(point)
+        proof = pt.into_proof()
+        t0 = time.perf_counter()
+        verify_poly(pp, comm, point, v, PcsTranscript.from_proof(proof), cfg)
+        verify_s = time.perf_counter() - t0
+
+        print(json.dumps({"metric": f"zip_commit_2p{log_n}", "value": round(commit_s * 1e3, 1), "unit": "ms"}))
+        print(json.dumps({"metric": f"zip_open_2p{log_n}", "value": round(open_s * 1e3, 1), "unit": "ms"}))
+        print(json.dumps({"metric": f"zip_verify_2p{log_n}", "value": round(verify_s * 1e3, 1), "unit": "ms"}))
+        print(json.dumps({"metric": f"zip_proof_bytes_2p{log_n}", "value": len(proof), "unit": "bytes"}))
+
+
+if __name__ == "__main__":
+    main()

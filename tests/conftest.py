@@ -5,18 +5,24 @@ remote TPU tunnel) before any user code runs, so plain env vars are too late;
 `jax.config.update` still works because backends initialize lazily.  Tests
 must NOT run against the tunnel — per-op dispatch over it is ~50s/op eager.
 Device tests exercise the same jitted code paths that run on TPU.
+
+Set ZINC_TPU_TEST_TPU=1 to skip the CPU override and run against the real
+attached chip (enables tests/test_pallas_kernels.py):
+
+    ZINC_TPU_TEST_TPU=1 python -m pytest tests/test_pallas_kernels.py -q
 """
 
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if not os.environ.get("ZINC_TPU_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

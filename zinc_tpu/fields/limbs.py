@@ -5,17 +5,19 @@ little-endian 16-bit limbs, one per uint32 lane.  16-bit limbs are chosen for
 TPU: there are no 64-bit scalar units, and 16×16→32-bit products fit a uint32
 lane exactly ((2^16−1)² < 2^32).
 
-Design for XLA/TPU:
+Two implementations per primitive, dispatched on the active backend:
 
-* **Multiplication is a matmul.**  The lo/hi halves of the outer product of
-  limb vectors are contracted against a precomputed 0/1 anti-diagonal tensor
-  (``i+j == k``), i.e. a (La·Lb) × K matmul — MXU work, and a handful of HLO
-  ops instead of O(L²) unrolled scalar updates.
-* **Carry propagation is a ``lax.scan``** over the (static, tiny) limb axis —
-  sequential by nature, but O(1) traced ops, so kernels that chain many
-  multiplies stay cheap to trace and compile.
+* **TPU**: Kogge-Stone carry resolution (log-depth shifts + elementwise) and
+  shifted multiply-accumulate columns — wide, fusion-friendly, and exactly
+  what the Pallas kernels (ops/pallas_field.py) trace in-kernel.
+* **CPU** (the test oracle backend): ``lax.scan`` ripple carries and the
+  antidiagonal-matmul column product.  XLA:CPU's fused elementwise executor
+  *recomputes* shared operands, so the fan-out-heavy Kogge-Stone/unrolled
+  forms explode there (measured: the CPU test suite went 350 s → >1500 s),
+  while scans — which materialize their carry — stay linear.
 
-Host↔device packing helpers (numpy) live at the bottom.
+Both compute identical values; tests/test_device_field.py pins them to the
+Python oracle.  Host↔device packing helpers (numpy) live at the bottom.
 """
 
 from __future__ import annotations
@@ -26,59 +28,130 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MASK16 = jnp.uint32(0xFFFF)
+# Python-int mask: inlined as an immediate everywhere (a jnp scalar would be
+# a captured constant, which Pallas kernels reject).
+MASK16 = 0xFFFF
+
+
+def _prefer_parallel_forms() -> bool:
+    """Kogge-Stone/unrolled forms on TPU; scan/matmul forms on CPU."""
+    return jax.default_backend() != "cpu"
+
+
+def _placed(x: jnp.ndarray, off: int, nc: int) -> jnp.ndarray | None:
+    """x's limbs shifted to columns [off, off+w) of an nc-wide array."""
+    if off >= nc:
+        return None
+    x = x[..., : nc - off]
+    pads = [(0, 0)] * (x.ndim - 1) + [(off, nc - off - x.shape[-1])]
+    return jnp.pad(x, pads)
+
+
+def _mul_columns_shift(a: jnp.ndarray, b: jnp.ndarray, out_cols: int | None = None) -> jnp.ndarray:
+    """Lazy columns as Lb shifted multiply-accumulates in pure uint32 — a
+    static elementwise chain that fuses on XLA:TPU and lowers cleanly in
+    Pallas kernels (no reshapes, gathers, or float detours)."""
+    la, lb = a.shape[-1], b.shape[-1]
+    nc = out_cols if out_cols is not None else la + lb
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    av = jnp.broadcast_to(a, batch + (la,))
+    bv = jnp.broadcast_to(b, batch + (lb,))
+    acc = jnp.zeros(batch + (nc,), jnp.uint32)
+    for j in range(lb):
+        p = av * bv[..., j : j + 1]  # exact: (2^16−1)² < 2^32
+        lo = _placed(p & MASK16, j, nc)
+        if lo is not None:
+            acc = acc + lo
+        hi = _placed(p >> 16, j + 1, nc)
+        if hi is not None:
+            acc = acc + hi
+    return acc
 
 
 @lru_cache(maxsize=64)
 def _antidiag(la: int, lb: int, nc: int, shift: int) -> np.ndarray:
-    """(La*Lb, nc) 0/1 matrix with m[i*Lb+j, k] = 1 iff i+j+shift == k."""
-    m = np.zeros((la * lb, nc), dtype=np.uint32)
+    """(La·Lb, nc) 0/1 matrix with m[i·Lb+j, k] = 1 iff i+j+shift == k."""
+    m = np.zeros((la * lb, nc), dtype=np.float32)
     for i in range(la):
         for j in range(lb):
             k = i + j + shift
             if k < nc:
-                m[i * lb + j, k] = 1
+                m[i * lb + j, k] = 1.0
     return m
 
 
-def mul_columns(a: jnp.ndarray, b: jnp.ndarray, out_cols: int | None = None) -> jnp.ndarray:
-    """Lazy-column product of two canonical limb arrays.
-
-    a: (..., La), b: (..., Lb) → (..., out_cols) lazy columns (default La+Lb).
-    Column values ≤ min(La,Lb)·2^17 — callers keep La+Lb small enough that a
-    uint32 lane never overflows (true for every width in this system).
-    """
+def _mul_columns_matmul(a: jnp.ndarray, b: jnp.ndarray, out_cols: int | None = None) -> jnp.ndarray:
+    """Lazy columns via the antidiagonal f32 contraction (CPU oracle form:
+    lo/hi < 2^16 and column sums < 2^24 are exact in f32, and the matmul
+    materializes once instead of re-running a 16-deep elementwise chain)."""
     la, lb = a.shape[-1], b.shape[-1]
     nc = out_cols if out_cols is not None else la + lb
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     outer = (a[..., :, None] * b[..., None, :]).reshape(batch + (la * lb,))
-    # Contract the anti-diagonals in f32: lo/hi < 2^16 and column sums < 2^24,
-    # so every value is exactly representable; on TPU this is an MXU matmul,
-    # and it compiles orders of magnitude faster than an integer GEMM.
     lo = (outer & MASK16).astype(jnp.float32)
     hi = (outer >> 16).astype(jnp.float32)
-    m_lo = jnp.asarray(_antidiag(la, lb, nc, 0).astype(np.float32))
-    m_hi = jnp.asarray(_antidiag(la, lb, nc, 1).astype(np.float32))
+    m_lo = jnp.asarray(_antidiag(la, lb, nc, 0))
+    m_hi = jnp.asarray(_antidiag(la, lb, nc, 1))
     cols = jnp.matmul(lo, m_lo, preferred_element_type=jnp.float32) + jnp.matmul(
         hi, m_hi, preferred_element_type=jnp.float32
     )
     return cols.astype(jnp.uint32)
 
 
-def carry_sweep(cols: jnp.ndarray, out_limbs: int | None = None) -> jnp.ndarray:
-    """Normalize lazy columns (each < 2^32 − 2^16) into canonical 16-bit limbs.
+def mul_columns(a: jnp.ndarray, b: jnp.ndarray, out_cols: int | None = None) -> jnp.ndarray:
+    """Lazy-column product of two canonical limb arrays.
 
-    cols: (..., K) uint32; returns (..., N) canonical limbs, N = out_limbs or
-    K+1.  Value is truncated mod 2^(16N) (two's-complement wrap semantics).
+    a: (..., La), b: (..., Lb) → (..., out_cols) lazy columns (default La+Lb),
+    cols[k] = Σ_{i+j=k} lo(a_i·b_j) + Σ_{i+j=k-1} hi(a_i·b_j) ≤ 2·Lb·2^16.
     """
+    if _prefer_parallel_forms():
+        return _mul_columns_shift(a, b, out_cols)
+    return _mul_columns_matmul(a, b, out_cols)
+
+
+def _shift_up(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Move limb i to position i+d (zeros shifted in at the bottom)."""
+    pad = jnp.zeros(x.shape[:-1] + (d,), x.dtype)
+    return jnp.concatenate([pad, x[..., :-d]], axis=-1)
+
+
+def _resolve_carries(t: jnp.ndarray, want_carry_out: bool = False):
+    """Kogge-Stone carry resolution for base-2^16 addition.
+
+    t: (..., N) uint32 per-position sums ≤ 2^17−1 (so each immediate carry is
+    0/1).  Returns canonical limbs of the represented value mod 2^(16N) —
+    and, optionally, the carry out of the top limb.  log2(N) rounds of
+    elementwise generate/propagate combines replace the 33-step sequential
+    ripple scan (the scan was the dominant cost of every device field op:
+    ~37 ms per sweep at 2^20 batch on one chip; this form is ~memory-bound).
+    """
+    n = t.shape[-1]
+    g = t >> 16  # generate: 0/1 by precondition
+    p = ((t & MASK16) == MASK16).astype(jnp.uint32)  # propagate
+    d = 1
+    while d < n:
+        g = g | (p & _shift_up(g, d))
+        p = p & _shift_up(p, d)
+        d *= 2
+    c = _shift_up(g, 1)  # carry INTO limb i = combined generate of [0..i-1]
+    out = (t + c) & MASK16
+    if want_carry_out:
+        # static index (a -1 index lowers to dynamic_slice, which Mosaic lacks)
+        return out, g[..., n - 1]
+    return out
+
+
+def _pad_or_trim(cols: jnp.ndarray, n: int) -> jnp.ndarray:
     k = cols.shape[-1]
-    n = out_limbs if out_limbs is not None else k + 1
     if n > k:
-        cols = jnp.concatenate(
+        return jnp.concatenate(
             [cols, jnp.zeros(cols.shape[:-1] + (n - k,), cols.dtype)], axis=-1
         )
-    else:
-        cols = cols[..., :n]
+    return cols[..., :n]
+
+
+def _carry_sweep_scan(cols: jnp.ndarray) -> jnp.ndarray:
+    """Ripple-carry via lax.scan (CPU oracle form — materialized carry)."""
     x = jnp.moveaxis(cols, -1, 0)
 
     def body(carry, col):
@@ -89,23 +162,42 @@ def carry_sweep(cols: jnp.ndarray, out_limbs: int | None = None) -> jnp.ndarray:
     return jnp.moveaxis(limbs, 0, -1)
 
 
+def carry_sweep(cols: jnp.ndarray, out_limbs: int | None = None) -> jnp.ndarray:
+    """Normalize lazy columns (each < 2^32 − 2^16) into canonical 16-bit limbs.
+
+    cols: (..., K) uint32; returns (..., N) canonical limbs, N = out_limbs or
+    K+1.  Value is truncated mod 2^(16N) (two's-complement wrap semantics).
+
+    TPU: split each 32-bit column into its low/high 16-bit halves (an exact
+    rewrite of the value) and run one Kogge-Stone base-2^16 addition;
+    CPU: ripple scan.
+    """
+    cols = _pad_or_trim(cols, out_limbs if out_limbs is not None else cols.shape[-1] + 1)
+    if not _prefer_parallel_forms():
+        return _carry_sweep_scan(cols)
+    return _resolve_carries((cols & MASK16) + _shift_up(cols >> 16, 1))
+
+
 def add_limbs(a: jnp.ndarray, b: jnp.ndarray, out_limbs: int | None = None) -> jnp.ndarray:
     """Exact sum of canonical limb arrays (wrap at out_limbs if given)."""
     la, lb = a.shape[-1], b.shape[-1]
-    n = max(la, lb)
+    n_out = out_limbs if out_limbs is not None else max(la, lb) + 1
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    av = jnp.zeros(batch + (n,), jnp.uint32).at[..., :la].add(a)
-    av = av.at[..., :lb].add(b)
-    return carry_sweep(av, out_limbs if out_limbs is not None else n + 1)
+
+    def fit(x, width):
+        x = jnp.broadcast_to(x, batch + (x.shape[-1],))[..., :width]
+        if x.shape[-1] < width:
+            pad = jnp.zeros(batch + (width - x.shape[-1],), jnp.uint32)
+            x = jnp.concatenate([x, pad], axis=-1)
+        return x
+
+    t = fit(a, n_out) + fit(b, n_out)
+    if not _prefer_parallel_forms():
+        return _carry_sweep_scan(t)
+    return _resolve_carries(t)
 
 
-def sub_limbs(a: jnp.ndarray, b: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """a − b with borrow chain; returns (limbs mod 2^(16L), borrow 0/1)."""
-    l = a.shape[-1]
-    assert b.shape[-1] == l
-    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    av = jnp.broadcast_to(a, batch + (l,))
-    bv = jnp.broadcast_to(b, batch + (l,))
+def _sub_limbs_scan(av: jnp.ndarray, bv: jnp.ndarray):
     x = jnp.moveaxis(av, -1, 0)
     y = jnp.moveaxis(bv, -1, 0)
 
@@ -116,6 +208,25 @@ def sub_limbs(a: jnp.ndarray, b: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]
 
     borrow, limbs = jax.lax.scan(body, jnp.zeros_like(x[0]), (x, y))
     return jnp.moveaxis(limbs, 0, -1), borrow
+
+
+def sub_limbs(a: jnp.ndarray, b: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """a − b with borrow chain; returns (limbs mod 2^(16L), borrow 0/1).
+
+    TPU: a + ~b + 1 on the Kogge-Stone adder, borrow = 1 − carry-out;
+    CPU: ripple borrow scan.
+    """
+    l = a.shape[-1]
+    assert b.shape[-1] == l
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    av = jnp.broadcast_to(a, batch + (l,))
+    bv = jnp.broadcast_to(b, batch + (l,))
+    if not _prefer_parallel_forms():
+        return _sub_limbs_scan(av, bv)
+    t = av + (bv ^ MASK16)
+    t = jnp.concatenate([t[..., :1] + 1, t[..., 1:]], axis=-1)  # inject the +1
+    out, carry = _resolve_carries(t, want_carry_out=True)
+    return out, (carry ^ 1).astype(jnp.uint32)
 
 
 def geq_limbs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -93,9 +93,7 @@ def mont_mul(ctx: DeviceField, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     m = carry_sweep(mul_columns(t[..., :l], jnp.asarray(ctx.nprime), out_cols=l), l)
     # lazy columns of m·q plus canonical T — still far below the uint32 budget
     uc = mul_columns(m, jnp.asarray(ctx.q))  # (..., 2L) lazy
-    sc = jnp.zeros(uc.shape[:-1] + (2 * l + 1,), jnp.uint32)
-    sc = sc.at[..., : 2 * l].add(uc)
-    sc = sc.at[..., : 2 * l].add(jnp.broadcast_to(t, uc.shape[:-1] + (2 * l,)))
+    sc = uc + jnp.broadcast_to(t, uc.shape)  # (..., 2L) lazy
     s = carry_sweep(sc, 2 * l + 2)
     res = s[..., l : 2 * l + 1]  # (..., L+1), value < 2q
     res = cond_sub(res, jnp.asarray(ctx.q_wide))

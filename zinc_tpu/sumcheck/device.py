@@ -118,6 +118,34 @@ def _round_kernel(
     return _round_body(ctx, tables, r_and_coeffs, first, degree, idx_terms)
 
 
+def _use_pallas(b: int) -> bool:
+    """Pallas round kernels: TPU only (the XLA path is the CPU oracle)."""
+    import os
+
+    if os.environ.get("ZINC_TPU_NO_PALLAS"):
+        return False
+    return b >= 512 and jax.devices()[0].platform == "tpu"
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _round_kernel_pallas(
+    ctx: DeviceField,
+    tables: jnp.ndarray,
+    r_and_coeffs: tuple,
+    first: bool,
+    degree: int,
+    idx_terms: tuple,
+):
+    """Fold + evaluate via the fused VMEM-resident kernels (~9× the XLA path)."""
+    from ..ops.pallas_field import mont_fold_pallas, round_eval_pallas
+
+    r, coeffs = r_and_coeffs
+    if not first:
+        tables = mont_fold_pallas(ctx, tables, r, 256)
+    wide = round_eval_pallas(ctx, tables, coeffs, degree, idx_terms, 256)
+    return tables, wide
+
+
 @partial(jax.jit, static_argnums=0)
 def _final_fold(ctx: DeviceField, tables: jnp.ndarray, r: jnp.ndarray):
     b = tables.shape[1]
@@ -143,7 +171,8 @@ class DeviceSumcheckExecutor:
         r = jnp.asarray(
             fps_to_limbs([r_prev if r_prev is not None else self.cfg.zero()], self.cfg)[0]
         )
-        self.tables, wide = _round_kernel(
+        kernel = _round_kernel_pallas if _use_pallas(self.tables.shape[1]) else _round_kernel
+        self.tables, wide = kernel(
             self.ctx, self.tables, (r, self.coeffs), first, self.degree, self.idx_terms
         )
         wide_np = np.asarray(wide)

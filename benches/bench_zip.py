@@ -54,7 +54,7 @@ def main() -> None:
 
         from zinc_tpu.poly.mle import DenseMleZ
 
-        v = DenseMleZ(log_n, list(z_vals)).map_to_field(cfg).evaluate(point)
+        v = DenseMleZ(log_n, z_vals.tolist()).map_to_field(cfg).evaluate(point)
         proof = pt.into_proof()
         t0 = time.perf_counter()
         verify_poly(pp, comm, point, v, PcsTranscript.from_proof(proof), cfg)

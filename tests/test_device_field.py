@@ -102,3 +102,26 @@ def test_ops_jit_and_batch_shapes():
     assert out.shape == arr.shape
     flat = limbs_to_ints(np.asarray(out).reshape(24, ctx.n16))
     assert flat == [cfg.mont_mul(v, v) for v in vals]
+
+
+def test_mod_reduce_wide_sparse_modulus():
+    """Regression: q·2^k shifted past the limb width used to wrap mod 2^(16W);
+    for sparse moduli (2^255+95) the wrapped value is tiny and the cond-sub
+    chain subtracted garbage on every element."""
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zinc_tpu.fields.config import FieldConfig
+    from zinc_tpu.fields.limbs import ints_to_limbs, limbs_to_int
+    from zinc_tpu.fields.montgomery import device_field, mod_reduce_wide
+
+    cfg_sparse = FieldConfig((1 << 255) + 95, 4)
+    ctx = device_field(cfg_sparse)
+    rng = random.Random(5)
+    for width in (17, 18, 20):
+        vals = [rng.randrange(32 * cfg_sparse.q) for _ in range(32)]
+        red = np.asarray(mod_reduce_wide(ctx, jnp.asarray(ints_to_limbs(vals, width))))
+        for i, v in enumerate(vals):
+            assert limbs_to_int(red[i]) == v % cfg_sparse.q

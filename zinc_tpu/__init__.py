@@ -14,6 +14,33 @@ Public API (the equivalent of the reference's ``zinc::prelude``,
 /root/reference/src/zinc.rs:12-24):
 """
 
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations (~10 s per sumcheck-round shape over the
+    tunnel AOT; a prove touches dozens of shapes).  Opt out with
+    ZINC_TPU_NO_COMPCACHE=1."""
+    import os
+
+    if os.environ.get("ZINC_TPU_NO_COMPCACHE"):
+        return
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            # XLA:CPU AOT cache entries pin host machine features and can
+            # SIGILL across runners; compiles are cheap there anyway.
+            return
+        cache_dir = os.environ.get(
+            "ZINC_TPU_COMPCACHE_DIR", os.path.expanduser("~/.cache/zinc_tpu_xla")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:  # pragma: no cover - jax misconfiguration must not break import
+        pass
+
+
+_enable_compilation_cache()
+
 from .ccs import CCS, CSError, Statement, Witness
 from .fields.config import FieldConfig, Fp
 from .prime import draw_random_field

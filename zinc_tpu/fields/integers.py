@@ -137,9 +137,15 @@ def combine_rows_signed(
             * eval_sign[start : start + chunk, :, None]
         ).astype(jnp.float32)  # (r', C, Le8) signed
         # G[c, i, j] = Σ_r cm[r,i]·em[r,c,j]  — |G| ≤ 32·255² < 2^21, f32-exact
-        g = jnp.einsum("ri,rcj->cij", cm, em, preferred_element_type=jnp.float32)
+        # precision='highest' forces true-f32 MXU passes: the TPU default is
+        # bf16 multiplies, which silently truncate these exact integers
+        g = jnp.einsum(
+            "ri,rcj->cij", cm, em,
+            preferred_element_type=jnp.float32, precision="highest",
+        )
         cols = jnp.matmul(
-            g.reshape(c, lc8 * le8), ad, preferred_element_type=jnp.float32
+            g.reshape(c, lc8 * le8), ad,
+            preferred_element_type=jnp.float32, precision="highest",
         )  # (C, n8), |cols| ≤ 8·2^21 = 2^24 — f32-exact
         acc = acc + cols.astype(jnp.int32)
 

@@ -92,9 +92,9 @@ def _mul_columns_matmul(a: jnp.ndarray, b: jnp.ndarray, out_cols: int | None = N
     hi = (outer >> 16).astype(jnp.float32)
     m_lo = jnp.asarray(_antidiag(la, lb, nc, 0))
     m_hi = jnp.asarray(_antidiag(la, lb, nc, 1))
-    cols = jnp.matmul(lo, m_lo, preferred_element_type=jnp.float32) + jnp.matmul(
-        hi, m_hi, preferred_element_type=jnp.float32
-    )
+    cols = jnp.matmul(
+        lo, m_lo, preferred_element_type=jnp.float32, precision="highest"
+    ) + jnp.matmul(hi, m_hi, preferred_element_type=jnp.float32, precision="highest")
     return cols.astype(jnp.uint32)
 
 

@@ -155,12 +155,20 @@ def lazy_sum(ctx: DeviceField, a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
 
 
 def mod_reduce_wide(ctx: DeviceField, wide: jnp.ndarray) -> jnp.ndarray:
-    """Reduce canonical limbs of any width (< 2^(16·W)) to < q, width L."""
+    """Reduce canonical limbs of any width (< 2^(16·W)) to < q, width L.
+
+    The largest shift must keep q·2^k inside the W-limb width — a shifted
+    modulus that wraps mod 2^(16W) subtracts garbage (and for sparse moduli
+    like 2^255+95 the wrapped value is tiny, so the cond-sub always fires).
+    k_max = 16·W − bits(q) gives q·2^k_max ∈ [2^(16W−1), 2^(16W)), which both
+    fits and dominates any input, so the chain's x < 2·q·2^k invariant holds.
+    """
     l = ctx.n16
     w = wide.shape[-1]
-    extra_bits = 16 * (w - l) + 16
+    k_max = 16 * w - ctx.modulus.bit_length()
+    assert k_max >= 0, "wide input narrower than the modulus"
     shifts = []
-    for k in range(extra_bits, -1, -1):
+    for k in range(k_max, -1, -1):
         shifts.append(int_to_limbs(ctx.modulus << k, w))
     q_shifted = jnp.asarray(np.stack(shifts))
     return reduce_mod(wide, q_shifted)[..., :l]

@@ -67,7 +67,9 @@ def spartan_prove_device(
             from .parallel.sumcheck import ShardedSumcheckExecutor
 
             return ShardedSumcheckExecutor(cfg, tables, degree, comb, mesh)
-        return DeviceSumcheckExecutor(cfg, tables, degree, comb)
+        from .sumcheck.device import make_executor as _make
+
+        return _make(cfg, tables, degree, comb)
 
     # ---- sumcheck 1 -------------------------------------------------------
     beta_s = squeeze_beta_challenges(transcript, ccs.s, cfg)

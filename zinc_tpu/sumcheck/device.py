@@ -154,6 +154,16 @@ def _final_fold(ctx: DeviceField, tables: jnp.ndarray, r: jnp.ndarray):
     return mont_add(ctx, left, mont_mul(ctx, mont_sub(ctx, right, left), r))
 
 
+def make_executor(cfg: FieldConfig, tables: jnp.ndarray, degree: int, comb):
+    """Best executor for this platform/shape: the retrace-free Pallas
+    fixed-buffer executor on TPU, else the XLA executor (CPU oracle)."""
+    if _use_pallas(tables.shape[1]):
+        from .pallas_exec import PallasSumcheckExecutor
+
+        return PallasSumcheckExecutor(cfg, tables, degree, comb)
+    return DeviceSumcheckExecutor(cfg, tables, degree, comb)
+
+
 class DeviceSumcheckExecutor:
     """Runs sumcheck rounds on device for a stacked set of MLE tables."""
 

@@ -139,21 +139,35 @@ def open_device(
             _write_limb_ints(transcript, np.asarray(combined))
 
     # ---- testing phase: column openings ------------------------------------
+    # Column indices are pure transcript squeezes (no proof bytes are absorbed
+    # between them — PcsTranscript._write only appends to the proof stream),
+    # so squeeze all of them up front and assemble the per-column records
+    # (values then the R sibling paths) in one vectorized pass.
     depth = (codeword_len - 1).bit_length() if codeword_len > 1 else 0
-    path_block = np.empty((num_rows, 8 + depth * 32), dtype=np.uint8)
-    path_block[:, :8] = np.frombuffer(depth.to_bytes(8, "big"), np.uint8)
-    for _ in range(pp.code.num_column_opening()):
-        column = transcript.squeeze_challenge_idx(cfg, codeword_len)
-        col_vals = data.enc_limbs[:, column, :]  # (R, Lk)
-        _write_limb_ints(transcript, col_vals)
-        idx = column
-        for lvl in range(depth):
-            sib = data.layers[lvl][:, idx ^ 1, :]  # (R, 8) uint32
-            path_block[:, 8 + lvl * 32 : 8 + (lvl + 1) * 32] = (
-                sib.astype("<u4").view(np.uint8).reshape(num_rows, 32)
-            )
-            idx >>= 1
-        transcript._write(path_block.tobytes())
+    n_open = pp.code.num_column_opening()
+    cols = np.array(
+        [transcript.squeeze_challenge_idx(cfg, codeword_len) for _ in range(n_open)]
+    )
+    lk = data.enc_limbs.shape[-1]
+    val_bytes = 2 * lk * num_rows
+    rec_bytes = val_bytes + num_rows * (8 + depth * 32)
+    records = np.empty((n_open, rec_bytes), dtype=np.uint8)
+    vals = np.ascontiguousarray(np.transpose(data.enc_limbs[:, cols, :], (1, 0, 2)))
+    records[:, :val_bytes] = (
+        vals.astype("<u2").view(np.uint8).reshape(n_open, val_bytes)
+    )
+    paths = records[:, val_bytes:].reshape(n_open, num_rows, 8 + depth * 32)
+    paths[:, :, :8] = np.frombuffer(depth.to_bytes(8, "big"), np.uint8)
+    idx = cols.copy()
+    for lvl in range(depth):
+        sib = np.ascontiguousarray(
+            np.transpose(data.layers[lvl][:, idx ^ 1, :], (1, 0, 2))
+        )  # (n_open, R, 8) u32
+        paths[:, :, 8 + lvl * 32 : 8 + (lvl + 1) * 32] = (
+            sib.astype("<u4").view(np.uint8).reshape(n_open, num_rows, 32)
+        )
+        idx >>= 1
+    transcript._write(records.tobytes())
 
     # ---- evaluation phase ---------------------------------------------------
     log_rows = num_rows.bit_length() - 1

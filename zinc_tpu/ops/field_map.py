@@ -54,9 +54,14 @@ def i64_to_field_device(cfg: FieldConfig, values: np.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnums=0)
 def _wide_to_field(ctx: DeviceField, limbs: jnp.ndarray, sign: jnp.ndarray) -> jnp.ndarray:
-    """General signed-magnitude path: |v| as (B, W) limbs, sign (B,) 0/1."""
+    """General signed-magnitude path: |v| as (B, W) limbs, sign (B,) 0/1.
+
+    Accepts narrower limb dtypes (u16) to keep host→device transfers small;
+    the arithmetic runs in uint32.
+    """
     from ..fields.montgomery import mont_neg
 
+    limbs = limbs.astype(jnp.uint32)
     v = mod_reduce_wide(ctx, limbs)
     m = mont_mul(ctx, v, jnp.asarray(ctx.r2))
     return jnp.where(sign[..., None].astype(bool), mont_neg(ctx, m), m)

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax.numpy as jnp
+
 from ..fields.config import FieldConfig, Fp
 from ..poly.mle import DenseMleZ, build_eq_x_r_vec
 from .merkle import MerkleTree, int_to_leaf_bytes, verify_merkle_path
@@ -191,62 +193,106 @@ def verify_poly(
             encoded_combined_row = pp.code.encode(combined_row)
             prox.append((coeffs, encoded_combined_row))
 
-    columns_opened: list[tuple[int, list[int]]] = []
-    # collect (leaf bytes, sibling path, index) per opened (column, row) so
-    # the BLAKE3 path folds run as ONE native batch call (1000·num_rows paths)
-    pending_leaves: list[bytes] = []
-    pending_paths: list[bytes] = []
-    pending_indices: list[int] = []
-    pending_roots: list[bytes] = []
-    depth = None
-    for _ in range(pp.code.num_column_opening()):
-        column = transcript.squeeze_challenge_idx(cfg, codeword_len)
-        column_values = transcript.read_integers(pp.num_rows, kw)
+    # ---- testing phase: column openings (vectorized) -----------------------
+    # Column indices are pure transcript squeezes and proof reads never touch
+    # the Fiat-Shamir state, so squeeze all indices first, then parse every
+    # opened record in one numpy pass; the per-column checks run as batch
+    # operations (device integer/field combinations, native Merkle folds).
+    import numpy as np
+
+    n_open = pp.code.num_column_opening()
+    num_rows = pp.num_rows
+    depth = (codeword_len - 1).bit_length() if codeword_len > 1 else 0
+    cols = np.array(
+        [transcript.squeeze_challenge_idx(cfg, codeword_len) for _ in range(n_open)],
+        dtype=np.int64,
+    )
+    val_bytes = num_rows * kw * 8
+    rec_bytes = val_bytes + num_rows * (8 + depth * 32)
+    raw = transcript._read(n_open * rec_bytes)
+    rec = np.frombuffer(raw, np.uint8).reshape(n_open, rec_bytes)
+    words = (
+        np.ascontiguousarray(rec[:, :val_bytes])
+        .view("<u8")
+        .reshape(n_open, num_rows, kw)
+    )  # two's-complement K-width values, LE word order
+    pathsec = rec[:, val_bytes:].reshape(n_open, num_rows, 8 + depth * 32)
+
+    # sign/magnitude decomposition of the opened values
+    neg = (words[:, :, kw - 1] >> np.uint64(63)).astype(bool)
+    mag = words.copy()
+    if neg.any():
+        inv = ~words[neg]
+        carry = np.ones(inv.shape[:-1], np.uint64)
+        for w in range(kw):
+            s = inv[..., w] + carry
+            inv[..., w] = s
+            carry = (s < carry).astype(np.uint64)
+        mag[neg] = inv
+    sign_pm = np.where(neg, -1, 1).astype(np.int32)
+
+    # integer proximity: Σ_r coeff_r · v_{r,c} must re-encode to the claimed
+    # combined rows at the opened columns
+    if num_rows > 1:
+        from ..fields.integers import combine_rows_signed, ints_to_mag8
+        from ..fields.limbs import ints_to_limbs
+
+        eval_mag8 = np.ascontiguousarray(
+            mag.view(np.uint8).reshape(n_open, num_rows, kw * 8).transpose(1, 0, 2)
+        )  # (R, C=n_open, Le8) uint8 — cast to u32 on device
+        eval_sign = np.ascontiguousarray(sign_pm.T).astype(np.int8)  # (R, C)
+        out16 = 4 * pp.zt.m_words
         for coeffs, encoded in prox:
-            if pp.num_rows > 1:
-                comb = sum(c * v for c, v in zip(coeffs, column_values))
-            else:
-                comb = column_values[0]
-            if comb != encoded[column]:
+            c_mag8, c_sign = ints_to_mag8(coeffs, 8 * pp.zt.n_words)
+            combined = np.asarray(
+                combine_rows_signed(
+                    jnp.asarray(c_mag8), jnp.asarray(c_sign),
+                    jnp.asarray(eval_mag8), jnp.asarray(eval_sign), out16,
+                )
+            )  # (n_open, out16) two's-complement limbs
+            expected = ints_to_limbs([encoded[c] for c in cols.tolist()], out16)
+            if not np.array_equal(combined, expected):
                 raise PcsError("proximity failure (integer phase)")
-        for r, root in enumerate(comm.roots):
-            path = transcript.read_merkle_path()
-            if depth is None:
-                depth = len(path)
-            elif depth != len(path):
-                raise PcsError("inconsistent Merkle path depth")
-            pending_leaves.append(int_to_leaf_bytes(column_values[r], kw))
-            pending_paths.append(b"".join(path))
-            pending_indices.append(column)
-            pending_roots.append(root)
-        columns_opened.append((column, column_values))
+    else:
+        def _value(i: int, r: int) -> int:
+            m = sum(int(mag[i, r, w]) << (64 * w) for w in range(kw))
+            return -m if neg[i, r] else m
 
-    if pending_leaves:
-        from ..hashing.blake3 import blake3
-        from ..native import blake3_batch, merkle_fold_batch
+        for coeffs, encoded in prox:  # pragma: no cover - spec has rows > 1
+            for i, c in enumerate(cols.tolist()):
+                if _value(i, 0) != encoded[c]:
+                    raise PcsError("proximity failure (integer phase)")
 
-        leaf_len = len(pending_leaves[0])
-        leaves_hashed = blake3_batch(
-            b"".join(pending_leaves), len(pending_leaves), leaf_len
+    # Merkle: every path must carry the tree depth and fold to the row root
+    if not (
+        pathsec[:, :, :8] == np.frombuffer(depth.to_bytes(8, "big"), np.uint8)
+    ).all():
+        raise PcsError("inconsistent Merkle path depth")
+    leaves = words.astype(">u8").tobytes()  # LE word order, BE bytes per word
+    from ..hashing.blake3 import blake3
+    from ..native import blake3_batch, merkle_fold_batch
+
+    n_paths = n_open * num_rows
+    leaves_hashed = blake3_batch(leaves, n_paths, kw * 8)
+    if leaves_hashed is None:
+        leaves_hashed = b"".join(
+            blake3(leaves[i * kw * 8 : (i + 1) * kw * 8]) for i in range(n_paths)
         )
-        if leaves_hashed is None:
-            leaves_hashed = b"".join(blake3(lb) for lb in pending_leaves)
-        folded = merkle_fold_batch(
-            leaves_hashed, b"".join(pending_paths), pending_indices, depth or 0
-        )
-        if folded is not None:
-            if any(
-                folded[32 * i : 32 * i + 32] != pending_roots[i]
-                for i in range(len(pending_roots))
-            ):
+    sib_bytes = np.ascontiguousarray(pathsec[:, :, 8:]).tobytes()
+    indices = np.repeat(cols, num_rows).tolist()
+    folded = merkle_fold_batch(leaves_hashed, sib_bytes, indices, depth)
+    if folded is not None:
+        folded_arr = np.frombuffer(folded, np.uint8).reshape(n_open, num_rows, 32)
+        roots_arr = np.frombuffer(b"".join(comm.roots), np.uint8).reshape(num_rows, 32)
+        if not np.array_equal(folded_arr, np.broadcast_to(roots_arr, folded_arr.shape)):
+            raise PcsError("Merkle path verification failed")
+    else:  # pure-Python fallback
+        for i in range(n_paths):
+            lb = leaves[i * kw * 8 : (i + 1) * kw * 8]
+            pb = sib_bytes[i * depth * 32 : (i + 1) * depth * 32]
+            path = [pb[32 * d : 32 * d + 32] for d in range(depth)]
+            if not verify_merkle_path(comm.roots[i % num_rows], lb, indices[i], path):
                 raise PcsError("Merkle path verification failed")
-        else:  # pure-Python fallback
-            for lb, pb, idx, root in zip(
-                pending_leaves, pending_paths, pending_indices, pending_roots
-            ):
-                path = [pb[32 * d : 32 * d + 32] for d in range(depth or 0)]
-                if not verify_merkle_path(root, lb, idx, path):
-                    raise PcsError("Merkle path verification failed")
 
     # ---- evaluation phase -------------------------------------------------
     q_0_combined_row = transcript.read_field_elements(row_len, cfg)
@@ -259,15 +305,35 @@ def verify_poly(
     if not acc == eval_claim:
         raise PcsError("evaluation consistency failure")
 
-    for column, column_values in columns_opened:
-        if pp.num_rows > 1:
-            comb = cfg.zero()
-            for qv, cv in zip(q_0, column_values):
-                comb = comb + qv * cfg.fp(cv)
-        else:
-            comb = cfg.fp(column_values[0])
-        if not comb == encoded_combined_row_f[column]:
+    # field-phase proximity: Σ_r q0_r·f(v_{r,c}) == encode_f(q0ᵀU)[c], batched
+    # on device (Montgomery limb arithmetic over all opened columns at once)
+    if num_rows > 1:
+        from ..fields.montgomery import device_field, lazy_sum, mod_reduce_wide, mont_mul
+        from ..ops.field_map import _wide_to_field
+        from ..poly.device import fps_to_limbs
+
+        ctx = device_field(cfg)
+        mag16 = mag.view("<u2").reshape(n_open * num_rows, kw * 4)  # u16 upload
+        vals_f = _wide_to_field(
+            ctx, jnp.asarray(mag16), jnp.asarray(neg.reshape(-1).astype(np.uint8))
+        ).reshape(n_open, num_rows, cfg.n16)
+        q0_l = jnp.asarray(fps_to_limbs(q_0, cfg))  # (R, L)
+        prod = mont_mul(ctx, q0_l[None, :, :], vals_f)  # (C, R, L)
+        wide = lazy_sum(ctx, prod, axis=1)  # (C, Lw)
+        combined_f = np.asarray(mod_reduce_wide(ctx, wide))  # (C, L) mont
+        from ..fields.limbs import ints_to_limbs as _itl
+
+        expected_f = _itl(
+            [encoded_combined_row_f[c].m for c in cols.tolist()], cfg.n16
+        )
+        if not np.array_equal(combined_f, expected_f):
             raise PcsError("proximity failure (field phase)")
+    else:
+        for i, c in enumerate(cols.tolist()):
+            m = sum(int(mag[i, 0, w]) << (64 * w) for w in range(kw))
+            v = -m if neg[i, 0] else m
+            if not cfg.fp(v) == encoded_combined_row_f[c]:
+                raise PcsError("proximity failure (field phase)")
 
 
 def batch_verify(pp, comms, points, evals, transcript, cfg):

@@ -70,3 +70,44 @@ def test_device_spartan_matches_host_vitalik():
     assert proof_d.second_sumcheck == proof_h.second_sumcheck
     assert proof_d.V_s == proof_h.V_s
     assert ry_d == ry_h
+
+
+def test_evaluate_mle_device_matches_host():
+    import random
+
+    from zinc_tpu.ccs import dummy_ccs_of_size
+    from zinc_tpu.ops.sparse import evaluate_mle_device, upload_matrix_f
+    from zinc_tpu.prime import draw_random_field
+    from zinc_tpu.sparse import evaluate_mle
+    from zinc_tpu.transcript import KeccakTranscript
+
+    rng = random.Random(9)
+    _, ccs, statement, wit = dummy_ccs_of_size(1 << 5, rng, int_bits=40)
+    cfg = draw_random_field(statement.public_input, KeccakTranscript(), 1, 4)
+    statement_f = statement.map_to_field(cfg)
+    r_x = [cfg.fp(rng.randrange(cfg.q)) for _ in range(ccs.s)]
+    r_y = [cfg.fp(rng.randrange(cfg.q)) for _ in range(ccs.s_prime)]
+    for m in statement_f.constraints:
+        host = evaluate_mle(m, r_x, r_y, cfg)
+        dev = evaluate_mle_device(cfg, upload_matrix_f(cfg, m), r_x, r_y)
+        assert host == dev
+
+
+def test_device_verifier_backend():
+    import random
+
+    from zinc_tpu.ccs import dummy_ccs_of_size
+    from zinc_tpu.prime import draw_random_field
+    from zinc_tpu.transcript import KeccakTranscript
+    from zinc_tpu.zinc import ZincProver, ZincVerifier
+    from zinc_tpu.zip.code import ZipTypes
+
+    zt = ZipTypes(1)
+    rng = random.Random(10)
+    _, ccs, statement, wit = dummy_ccs_of_size(1 << 5, rng, int_bits=40)
+    t = KeccakTranscript()
+    cfg = draw_random_field(statement.public_input, t, zt.n_words, 4)
+    proof = ZincProver(zt).prove(statement, wit, t, ccs, cfg)
+    ZincVerifier(zt, backend="device").verify(
+        statement, proof, KeccakTranscript(), ccs, cfg
+    )

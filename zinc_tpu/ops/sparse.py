@@ -57,6 +57,25 @@ def upload_matrix(cfg: FieldConfig, m: SparseMatrix) -> DeviceCsr:
     )
 
 
+def upload_matrix_f(cfg: FieldConfig, m: SparseMatrix) -> DeviceCsr:
+    """Upload a FIELD-valued sparse matrix (entries already Fp)."""
+    from ..poly.device import fps_to_limbs
+
+    rows, cols, vals = [], [], []
+    for i, row in enumerate(m.rows):
+        for v, c in row:
+            rows.append(i)
+            cols.append(c)
+            vals.append(v)
+    return DeviceCsr(
+        rows_idx=jnp.asarray(np.array(rows, np.int32)),
+        cols_idx=jnp.asarray(np.array(cols, np.int32)),
+        vals=jnp.asarray(fps_to_limbs(vals, cfg)),
+        n_rows=m.n_rows,
+        n_cols=m.n_cols,
+    )
+
+
 @partial(jax.jit, static_argnums=(0, 4))
 def _segmented_matvec(
     ctx: DeviceField,
@@ -82,3 +101,29 @@ def eval_table_device(cfg: FieldConfig, m: DeviceCsr, rx: jnp.ndarray, num_cols:
     """rxᵀ·M over the field: (num_cols, L).  Requires per-col nnz ≤ 2^15."""
     ctx = device_field(cfg)
     return _segmented_matvec(ctx, m.vals, m.rows_idx, m.cols_idx, num_cols, rx)
+
+
+@partial(jax.jit, static_argnums=0)
+def _mle_eval_kernel(ctx, vals, rows_idx, cols_idx, eq_rx, eq_ry):
+    from ..fields.montgomery import lazy_sum
+
+    prod = mont_mul(ctx, vals, eq_rx[rows_idx])
+    prod = mont_mul(ctx, prod, eq_ry[cols_idx])
+    wide = lazy_sum(ctx, prod, axis=0)
+    return mod_reduce_wide(ctx, wide[None, :])[0]
+
+
+def evaluate_mle_device(cfg: FieldConfig, m: DeviceCsr, r_row: list, r_col: list):
+    """M̃(r_row ‖ r_col) = Σ_{(v,r,c)} v·eq(r_row)[r]·eq(r_col)[c] on device.
+
+    The sparse analog of the verifier's final matrix evaluations
+    (/root/reference/src/zinc/verifier.rs:249-261 materializes the dense
+    matrix MLE; here it is one gather-multiply-reduce over nnz).
+    """
+    from ..poly.device import build_eq_table_device, limbs_to_fp
+
+    ctx = device_field(cfg)
+    eq_rx = build_eq_table_device(cfg, r_row)
+    eq_ry = build_eq_table_device(cfg, r_col)
+    out = _mle_eval_kernel(ctx, m.vals, m.rows_idx, m.cols_idx, eq_rx, eq_ry)
+    return limbs_to_fp(np.asarray(out), cfg)

@@ -167,9 +167,17 @@ class ZincProver:
 
 
 class ZincVerifier:
-    def __init__(self, zt: ZipTypes, lc_spec: LinearCodeSpec | None = None):
+    """``backend="device"`` runs the final Σγʲ·M̃ⱼ(r_x‖r_y) matrix
+    evaluations as device gather-reduce kernels (the one O(nnz) step of
+    verification); everything else is host-side."""
+
+    def __init__(
+        self, zt: ZipTypes, lc_spec: LinearCodeSpec | None = None, backend: str = "host"
+    ):
         self.zt = zt
         self.lc_spec = lc_spec or DefaultLinearCodeSpec()
+        assert backend in ("host", "device")
+        self.backend = backend
 
     def verify(
         self,
@@ -216,6 +224,14 @@ class ZincVerifier:
             raise ZincError(f"PCS verification failed: {e}") from e
 
         # Final check: Σⱼ γʲ·M̃ⱼ(r_x‖r_y)·v == e_y (sparse evaluation)
-        v_xy = [evaluate_mle(m, r_x, r_y, cfg) for m in statement_f.constraints]
+        if self.backend == "device":
+            from .ops.sparse import evaluate_mle_device, upload_matrix_f
+
+            v_xy = [
+                evaluate_mle_device(cfg, upload_matrix_f(cfg, m), r_x, r_y)
+                for m in statement_f.constraints
+            ]
+        else:
+            v_xy = [evaluate_mle(m, r_x, r_y, cfg) for m in statement_f.constraints]
         if not lin_comb_gamma(points.gamma, v_xy) * zip_proof.v == points.e_y:
             raise ZincError("gamma combination of matrix evaluations != e_y")

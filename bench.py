@@ -32,7 +32,7 @@ def _device_round_ms(cfg, n_mles: int, b: int, degree: int, idx_terms, iters: in
     import jax
 
     from zinc_tpu.fields.montgomery import device_field
-    from zinc_tpu.sumcheck.device import _round_kernel, _round_kernel_pallas, _use_pallas
+    from zinc_tpu.sumcheck.device import _round_kernel, _use_pallas
 
     ctx = device_field(cfg)
     rng = np.random.default_rng(0)
@@ -45,16 +45,36 @@ def _device_round_ms(cfg, n_mles: int, b: int, degree: int, idx_terms, iters: in
     tables_d = jax.device_put(tables)
     r_d = jax.device_put(r)
     coeffs_d = jax.device_put(coeffs)
-    kernel = _round_kernel_pallas if _use_pallas(b) else _round_kernel
 
-    # warmup / compile; np.asarray forces a real sync (block_until_ready can
-    # return early over the axon tunnel)
-    out = kernel(ctx, tables_d, (r_d, coeffs_d), False, degree, idx_terms)
+    if _use_pallas(b):
+        # the production path: ONE fused fold+evaluate launch per round
+        # (sumcheck/pallas_exec.py), Spartan-shaped ±1 coefficients
+        from zinc_tpu.sumcheck.pallas_exec import TILE, _fold_eval_fixed
+
+        kinds = ("u", "n", "u")[: len(idx_terms)]
+
+        import jax.numpy as jnp
+
+        def run():
+            # fresh device copy each call — the kernel donates its input
+            buf, wide = _fold_eval_fixed(
+                ctx, tables_d + jnp.uint32(0), r_d, coeffs_d, degree,
+                idx_terms, kinds, b // (4 * TILE),
+            )
+            return wide
+
+        np.asarray(run())  # warmup/compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            np.asarray(run())
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    # XLA fallback (CPU)
+    out = _round_kernel(ctx, tables_d, (r_d, coeffs_d), False, degree, idx_terms)
     np.asarray(out[1])
-
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = kernel(ctx, tables_d, (r_d, coeffs_d), False, degree, idx_terms)
+        out = _round_kernel(ctx, tables_d, (r_d, coeffs_d), False, degree, idx_terms)
         np.asarray(out[1])
     return (time.perf_counter() - t0) / iters * 1e3
 

@@ -185,6 +185,38 @@ def _mont_sub_T(kctx: "_KCtx", a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((borrow != 0)[None, :], dq, d)
 
 
+def _mont_neg_T(kctx: "_KCtx", a: jnp.ndarray) -> jnp.ndarray:
+    """q − a (a canonical < q), with −0 = 0."""
+    qd, _ = _sub_T(jnp.broadcast_to(kctx.q[:, None], a.shape), a)
+    is_zero = jnp.all(a == 0, axis=0)[None, :]
+    return jnp.where(is_zero, a, qd)
+
+
+def _comb_terms_T(kctx, point_vals, c_ref, coeff_kinds, idx_terms, l, width):
+    """Σ_k coeff_k·Π_{j∈idx_terms[k]} vals[j] for one point, limb-major.
+
+    coeff_kinds is a static tuple per term: 'u' (coeff == 1 — skip the
+    multiply), 'n' (coeff == −1 — negate instead), 'g' (generic — multiply
+    by the coefficient row).  Real CCS instances use only ±1 (e.g. R1CS's
+    c = [1, −1]), so the coefficient multiplies vanish from the hot loop.
+    """
+    comb = None
+    for k, idxs in enumerate(idx_terms):
+        kind = coeff_kinds[k]
+        if kind == "g":
+            term = jnp.broadcast_to(c_ref[k : k + 1, :].T, (l, width))
+            for j in idxs:
+                term = _mont_mul_T(kctx, term, point_vals[j])
+        else:
+            term = point_vals[idxs[0]]
+            for j in idxs[1:]:
+                term = _mont_mul_T(kctx, term, point_vals[j])
+            if kind == "n":
+                term = _mont_neg_T(kctx, term)
+        comb = term if comb is None else _mont_add_T(kctx, comb, term)
+    return comb
+
+
 def _const_specs(l: int):
     return [
         pl.BlockSpec((l,), lambda i: (0,), memory_space=pltpu.VMEM),
@@ -276,7 +308,7 @@ def _eval_sums_width(l: int) -> int:
     return l + 4  # room for 2^64 pair-count growth
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+@partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def round_eval_pallas(
     ctx: DeviceField,
     tables: jnp.ndarray,  # (n_mles, B, L) — B pairs = B/2
@@ -284,6 +316,7 @@ def round_eval_pallas(
     degree: int,
     idx_terms: tuple,
     tile: int = DEFAULT_TILE,
+    coeff_kinds: tuple | None = None,
 ):
     """Sumcheck round evaluations: lazy wide sums of comb at points 0..degree.
 
@@ -296,6 +329,7 @@ def round_eval_pallas(
     t = _pick_tile(half, tile)
     lw = _eval_sums_width(l)
     n_points = degree + 1
+    kinds = coeff_kinds or ("g",) * len(idx_terms)
     pairs = tables.reshape(n_mles, half, 2, l)
 
     def kernel(*refs):
@@ -319,12 +353,7 @@ def round_eval_pallas(
 
         parts = []
         for pv in point_vals[: n_points]:
-            comb = None
-            for k, idxs in enumerate(idx_terms):
-                term = jnp.broadcast_to(c_ref[k : k + 1, :].T, (l, width))
-                for j in idxs:
-                    term = _mont_mul_T(kctx, term, pv[j])
-                comb = term if comb is None else _mont_add_T(kctx, comb, term)
+            comb = _comb_terms_T(kctx, pv, c_ref, kinds, idx_terms, l, width)
             # lane-sum the canonical residues exactly (i32 is wide enough:
             # 2^16 · tile ≤ 2^16·2^12 < 2^31)
             s = jnp.sum(comb.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.uint32)

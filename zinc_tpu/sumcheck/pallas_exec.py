@@ -33,6 +33,7 @@ from ..fields.config import FieldConfig, Fp
 from ..fields.limbs import carry_sweep, limbs_to_int
 from ..fields.montgomery import DeviceField, device_field
 from ..ops.pallas_field import (
+    _comb_terms_T,
     _const_specs,
     _ctx_consts,
     _eval_sums_width,
@@ -76,13 +77,40 @@ def _fold_fixed(ctx: DeviceField, buf: jnp.ndarray, r: jnp.ndarray, nb):
     )(*_ctx_consts(ctx), buf, r)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
+def _eval_body(kctx, pairs, c_ref, degree, idx_terms, kinds, n_mles, l):
+    """Shared eval: (n_mles, T, 2, l) pairs → (P, lw) canonical part sums."""
+    lw = _eval_sums_width(l)
+    n_points = degree + 1
+    width = pairs.shape[1]
+    v0s, v1s, steps = [], [], []
+    for i in range(n_mles):
+        v0 = pairs[i, :, 0, :].T  # (l, T)
+        v1 = pairs[i, :, 1, :].T
+        v0s.append(v0)
+        v1s.append(v1)
+        steps.append(_mont_sub_T(kctx, v1, v0))
+    point_vals = [v0s, v1s]
+    cur = v1s
+    for _ in range(2, degree + 1):
+        cur = [_mont_add_T(kctx, cur[i], steps[i]) for i in range(n_mles)]
+        point_vals.append(cur)
+    parts = []
+    for pv in point_vals[:n_points]:
+        comb = _comb_terms_T(kctx, pv, c_ref, kinds, idx_terms, l, width)
+        s = jnp.sum(comb.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.uint32)
+        parts.append(s.T)
+    part = jnp.concatenate(parts, axis=0)  # (P, l)
+    return jnp.concatenate([part, jnp.zeros((n_points, lw - l), jnp.uint32)], axis=1)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def _eval_fixed(
     ctx: DeviceField,
     buf: jnp.ndarray,
     coeffs: jnp.ndarray,
     degree: int,
     idx_terms: tuple,
+    kinds: tuple,
     nb,
 ):
     """Round evaluations over the active prefix (nb blocks of 2·TILE)."""
@@ -93,32 +121,8 @@ def _eval_fixed(
     def kernel(*refs):
         kctx = _unpack_ctx(refs[:5], ctx)
         t_ref, c_ref, o_ref = refs[5], refs[6], refs[7]
-        blk = t_ref[:]
-        pairs = blk.reshape(n_mles, TILE, 2, l)
-        v0s, v1s, steps = [], [], []
-        for i in range(n_mles):
-            v0 = pairs[i, :, 0, :].T  # (l, T)
-            v1 = pairs[i, :, 1, :].T
-            v0s.append(v0)
-            v1s.append(v1)
-            steps.append(_mont_sub_T(kctx, v1, v0))
-        point_vals = [v0s, v1s]
-        cur = v1s
-        for _ in range(2, degree + 1):
-            cur = [_mont_add_T(kctx, cur[i], steps[i]) for i in range(n_mles)]
-            point_vals.append(cur)
-        parts = []
-        for pv in point_vals[:n_points]:
-            comb = None
-            for k, idxs in enumerate(idx_terms):
-                term = jnp.broadcast_to(c_ref[k : k + 1, :].T, (l, TILE))
-                for j in idxs:
-                    term = _mont_mul_T(kctx, term, pv[j])
-                comb = term if comb is None else _mont_add_T(kctx, comb, term)
-            s = jnp.sum(comb.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.uint32)
-            parts.append(s.T)
-        part = jnp.concatenate(parts, axis=0)  # (P, l)
-        part = jnp.concatenate([part, jnp.zeros((n_points, lw - l), jnp.uint32)], axis=1)
+        pairs = t_ref[:].reshape(n_mles, TILE, 2, l)
+        part = _eval_body(kctx, pairs, c_ref, degree, idx_terms, kinds, n_mles, l)
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -138,6 +142,73 @@ def _eval_fixed(
     )(*_ctx_consts(ctx), buf, coeffs)
 
 
+@partial(jax.jit, static_argnums=(0, 4, 5, 6), donate_argnums=(1,))
+def _fold_eval_fixed(
+    ctx: DeviceField,
+    buf: jnp.ndarray,
+    r: jnp.ndarray,
+    coeffs: jnp.ndarray,
+    degree: int,
+    idx_terms: tuple,
+    kinds: tuple,
+    nb,
+):
+    """Fused round: fold the active prefix in place AND evaluate the folded
+    pairs — one kernel launch per round instead of two.
+
+    Each grid block reads 4·TILE raw entries (2·TILE fold pairs), writes the
+    2·TILE folded entries into the buffer prefix (aliased; write frontier
+    2T·i trails the read frontier 4T·i), and contributes TILE eval pairs to
+    the accumulated claim sums.
+    """
+    n_mles, b_max, l = buf.shape
+    lw = _eval_sums_width(l)
+    n_points = degree + 1
+
+    def kernel(*refs):
+        kctx = _unpack_ctx(refs[:5], ctx)
+        t_ref, r_ref, c_ref, o_ref, s_ref = refs[5], refs[6], refs[7], refs[8], refs[9]
+        blk = t_ref[:]  # (n_mles, 4T, l)
+        fold_pairs = blk.reshape(n_mles, 2 * TILE, 2, l)
+        rb = jnp.broadcast_to(r_ref[:][:, None], (l, 2 * TILE))
+        folded = []
+        for i in range(n_mles):
+            v0 = fold_pairs[i, :, 0, :].T  # (l, 2T)
+            v1 = fold_pairs[i, :, 1, :].T
+            f = _mont_add_T(kctx, v0, _mont_mul_T(kctx, _mont_sub_T(kctx, v1, v0), rb))
+            folded.append(f)
+            o_ref[i, :, :] = f.T
+
+        # eval pairs of the folded block: lanes (2j, 2j+1) of each (l, 2T)
+        pairs = jnp.stack([f.T for f in folded]).reshape(n_mles, TILE, 2, l)
+        part = _eval_body(kctx, pairs, c_ref, degree, idx_terms, kinds, n_mles, l)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            s_ref[:] = jnp.zeros((n_points, lw), jnp.uint32)
+
+        s_ref[:] = carry_sweep(s_ref[:] + part, lw)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_mles, b_max, l), jnp.uint32),
+            jax.ShapeDtypeStruct((n_points, lw), jnp.uint32),
+        ),
+        in_specs=_const_specs(l) + [
+            pl.BlockSpec((n_mles, 4 * TILE, l), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(coeffs.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_mles, 2 * TILE, l), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_points, lw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        grid=(nb,),
+        input_output_aliases={5: 0},
+    )(*_ctx_consts(ctx), buf, r, coeffs)
+
+
 class PallasSumcheckExecutor:
     """Drop-in for DeviceSumcheckExecutor: one compile per shape family."""
 
@@ -148,6 +219,11 @@ class PallasSumcheckExecutor:
         self.comb = comb
         self.coeffs = jnp.asarray(fps_to_limbs([c for c, _ in comb], cfg))
         self.idx_terms = tuple(tuple(idxs) for _, idxs in comb)
+        one = cfg.one()
+        neg_one = -one
+        self.kinds = tuple(
+            "u" if c == one else ("n" if c == neg_one else "g") for c, _ in comb
+        )
         self.buf = jnp.asarray(tables)
         self.active = tables.shape[1]
         self._host_mles: list[list[Fp]] | None = None
@@ -171,30 +247,40 @@ class PallasSumcheckExecutor:
 
     # -- protocol interface ----------------------------------------------------
 
-    def round(self, r_prev: Fp | None) -> list[Fp]:
-        if self._host_mles is not None:
-            return self._host_round(r_prev, fold_done=False)
-        first = r_prev is None
-        if not first:
-            r = jnp.asarray(fps_to_limbs([r_prev], self.cfg)[0])
-            self.buf = _fold_fixed(self.ctx, self.buf, r, self.active // (2 * TILE))
-            self.active //= 2
-            if self.active < 2 * TILE:
-                self._demote_to_host()
-                return self._host_round(r_prev, fold_done=True)
-        elif self.active < 2 * TILE:
-            self._demote_to_host()
-            return self._host_round(None, fold_done=True)
-        wide = np.asarray(
-            _eval_fixed(
-                self.ctx, self.buf, self.coeffs, self.degree, self.idx_terms,
-                self.active // (2 * TILE),
-            )
-        )
+    def _decode(self, wide) -> list[Fp]:
+        wide = np.asarray(wide)
         return [
             self.cfg.fp_from_mont(limbs_to_int(wide[t]) % self.cfg.q)
             for t in range(wide.shape[0])
         ]
+
+    def round(self, r_prev: Fp | None) -> list[Fp]:
+        if self._host_mles is not None:
+            return self._host_round(r_prev, fold_done=False)
+        if r_prev is None:
+            if self.active < 2 * TILE:
+                self._demote_to_host()
+                return self._host_round(None, fold_done=True)
+            return self._decode(
+                _eval_fixed(
+                    self.ctx, self.buf, self.coeffs, self.degree, self.idx_terms,
+                    self.kinds, self.active // (2 * TILE),
+                )
+            )
+        r = jnp.asarray(fps_to_limbs([r_prev], self.cfg)[0])
+        if self.active >= 4 * TILE:
+            # fused fold + evaluate: one launch per round
+            self.buf, wide = _fold_eval_fixed(
+                self.ctx, self.buf, r, self.coeffs, self.degree, self.idx_terms,
+                self.kinds, self.active // (4 * TILE),
+            )
+            self.active //= 2
+            return self._decode(wide)
+        # 2·TILE ≤ active < 4·TILE: fold once more, then finish on host
+        self.buf = _fold_fixed(self.ctx, self.buf, r, self.active // (2 * TILE))
+        self.active //= 2
+        self._demote_to_host()
+        return self._host_round(r_prev, fold_done=True)
 
     def final_fold(self, r: Fp):
         if self._host_mles is not None:

@@ -10,7 +10,9 @@ z̃(r_y) (sumcheck 2) — no separate evaluation passes.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,6 +47,38 @@ def z_to_device(cfg: FieldConfig, z_ccs: list[int]) -> jnp.ndarray:
     return ints_to_field_device(cfg, z_ccs)
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _sc1_setup(ctx, n_rows: int, mats, z_f, beta_l):
+    """One launch: Mz per matrix + eq(β) table + stack — (t+1, m, L)."""
+    from .ops.sparse import _segmented_matvec
+    from .poly.device import _eq_table_device
+
+    mz = [
+        _segmented_matvec(ctx, vals, cols, rows, n_rows, z_f)
+        for vals, cols, rows in mats
+    ]
+    eq_beta = _eq_table_device(ctx, beta_l)
+    return jnp.concatenate([jnp.stack(mz), eq_beta[None]], axis=0)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _sc2_setup(ctx, n_cols: int, mats, z_f, rx_l, gamma_l):
+    """One launch: eq(r_x), Σⱼγʲ·(rₓᵀMⱼ) Horner, stack with z — (2, m, L)."""
+    from .ops.sparse import _segmented_matvec
+    from .poly.device import _eq_table_device
+
+    eq_rx = _eq_table_device(ctx, rx_l)
+    evals = None
+    for vals, cols, rows in reversed(mats):
+        table_j = _segmented_matvec(ctx, vals, rows, cols, n_cols, eq_rx)
+        evals = (
+            table_j
+            if evals is None
+            else mont_add(ctx, mont_mul(ctx, evals, gamma_l), table_j)
+        )
+    return jnp.stack([evals, z_f])
+
+
 def spartan_prove_device(
     dstatement: DeviceStatement,
     z_f: jnp.ndarray,  # (m, L) field-projected z (from z_to_device)
@@ -62,39 +96,56 @@ def spartan_prove_device(
     ctx = device_field(cfg)
     c_f = [cfg.fp(ci) for ci in ccs.c]
 
-    def make_executor(tables, degree, comb):
+    def run_sumcheck(tables, nvars, degree, comb):
+        """(proof, randomness, final_values) with the best available driver:
+        device-resident Fiat-Shamir (one sync per sumcheck) when unsharded,
+        else the per-round executor."""
+        import os
+
+        if mesh is None and not os.environ.get("ZINC_TPU_NO_DEVICE_FS"):
+            from .sumcheck.device_fs import prove_as_subprotocol_device_fs
+
+            proof, randomness, mles = prove_as_subprotocol_device_fs(
+                transcript, cfg, tables, nvars, degree, comb
+            )
+            return proof, randomness, [m[0] for m in mles]
         if mesh is not None:
             from .parallel.sumcheck import ShardedSumcheckExecutor
 
-            return ShardedSumcheckExecutor(cfg, tables, degree, comb, mesh)
-        from .sumcheck.device import make_executor as _make
+            ex = ShardedSumcheckExecutor(cfg, tables, degree, comb, mesh)
+        else:
+            from .sumcheck.device import make_executor as _make
 
-        return _make(cfg, tables, degree, comb)
+            ex = _make(cfg, tables, degree, comb)
+        proof, randomness = prove_as_subprotocol_device(transcript, ex, nvars, degree, cfg)
+        return proof, randomness, ex.final_values()
 
     # ---- sumcheck 1 -------------------------------------------------------
     beta_s = squeeze_beta_challenges(transcript, ccs.s, cfg)
-    mz = [mat_vec_mul_device(cfg, m, z_f) for m in dstatement.matrices]
-    eq_beta = build_eq_table_device(cfg, beta_s)
-    tables = jnp.concatenate([jnp.stack(mz), eq_beta[None]], axis=0)
-    eq_idx = len(mz)
+    tables = _sc1_setup(
+        ctx,
+        ccs.m,
+        tuple((m.vals, m.cols_idx, m.rows_idx) for m in dstatement.matrices),
+        z_f,
+        jnp.asarray(fps_to_limbs(beta_s, cfg)),
+    )
+    eq_idx = len(dstatement.matrices)
     comb1 = [(ci, tuple(ccs.S[i]) + (eq_idx,)) for i, ci in enumerate(c_f) if not ci.is_zero()]
-    ex1 = make_executor(tables, ccs.d + 1, comb1)
-    proof1, r_x = prove_as_subprotocol_device(transcript, ex1, ccs.s, ccs.d + 1, cfg)
-    finals1 = ex1.final_values()
-    v_s = finals1[: len(mz)]
+    proof1, r_x, finals1 = run_sumcheck(tables, ccs.s, ccs.d + 1, comb1)
+    v_s = finals1[: len(dstatement.matrices)]
 
     # ---- sumcheck 2 -------------------------------------------------------
     gamma = squeeze_gamma_challenge(transcript, cfg)
-    eq_rx = build_eq_table_device(cfg, r_x)
-    gamma_l = jnp.asarray(fps_to_limbs([gamma], cfg)[0])
-    evals = None
-    for m in reversed(dstatement.matrices):
-        table_j = eval_table_device(cfg, m, eq_rx, ccs.m)
-        evals = table_j if evals is None else mont_add(ctx, mont_mul(ctx, evals, gamma_l), table_j)
-    tables2 = jnp.stack([evals, z_f])
+    tables2 = _sc2_setup(
+        ctx,
+        ccs.m,
+        tuple((m.vals, m.cols_idx, m.rows_idx) for m in dstatement.matrices),
+        z_f,
+        jnp.asarray(fps_to_limbs(r_x, cfg)),
+        jnp.asarray(fps_to_limbs([gamma], cfg)[0]),
+    )
     comb2 = [(cfg.one(), (0, 1))]
-    ex2 = make_executor(tables2, 2, comb2)
-    proof2, r_y = prove_as_subprotocol_device(transcript, ex2, ccs.s, 2, cfg)
-    v = ex2.final_values()[1]
+    proof2, r_y, finals2 = run_sumcheck(tables2, ccs.s, 2, comb2)
+    v = finals2[1]
 
     return SpartanProof(proof1, proof2, v_s), r_y, v

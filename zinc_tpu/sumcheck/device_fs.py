@@ -1,0 +1,264 @@
+"""Fully device-resident sumcheck: rounds + Fiat-Shamir in ONE program.
+
+The classical executor syncs with the host every round (absorb the d+1
+evaluations, squeeze the challenge — ~35-65 ms of tunnel latency per round).
+Here the host exports its Keccak transcript state once, the device runs all
+large rounds — fused fold+evaluate kernels interleaved with the device
+sponge (ops/keccak_kernel.py) — and the host re-imports the sponge and
+finishes the tiny tail rounds.  One host↔device round trip per sumcheck.
+
+Byte/framing semantics are bit-identical to transcript.py (pinned by
+tests): per round, absorb each evaluation as
+0x03 ‖ q_be ‖ 0x05 0x01 ‖ mont_be ‖ 0x03, squeeze (digest + 0x00‖d‖0x01
+ratchet + per-regime bit masking), absorb the challenge the same way.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.config import FieldConfig, Fp
+from ..fields.montgomery import DeviceField, device_field, mod_reduce_wide, mont_mul
+from ..ops.keccak_kernel import DeviceSponge
+from ..ops.pallas_field import _eval_sums_width
+from ..poly.device import limbs_to_fp
+from ..transcript import KeccakTranscript
+from .pallas_exec import TILE, _eval_fixed, _fold_eval_fixed
+
+
+def _limbs_to_be_bytes(limbs: jnp.ndarray) -> jnp.ndarray:
+    """(L,) u32 canonical 16-bit limbs → (2L,) u8 big-endian bytes."""
+    hi8 = (limbs >> 8).astype(jnp.uint8)
+    lo8 = (limbs & 0xFF).astype(jnp.uint8)
+    return jnp.stack([hi8[::-1], lo8[::-1]], axis=1).reshape(-1)
+
+
+def _field_frame(cfg: FieldConfig, mont_limbs: jnp.ndarray) -> jnp.ndarray:
+    """absorb_field byte stream for one element (transcript.py:47-55)."""
+    prefix = np.frombuffer(b"\x03" + cfg.modulus_bytes_be() + b"\x05\x01", np.uint8)
+    suffix = np.frombuffer(b"\x03", np.uint8)
+    return jnp.concatenate(
+        [jnp.asarray(prefix), _limbs_to_be_bytes(mont_limbs), jnp.asarray(suffix)]
+    )
+
+
+def _digest_to_value_limbs(d: jnp.ndarray, qbits: int, l16: int) -> jnp.ndarray:
+    """Masked challenge value limbs from a 32-byte digest
+    (transcript.py:_get_challenge_limbs + get_challenge regimes)."""
+    bits = qbits - 1
+
+    def limb(msb_region: int, j: int) -> jnp.ndarray:
+        base = 15 - 2 * j + msb_region
+        return d[base].astype(jnp.uint32) | (d[base - 1].astype(jnp.uint32) << 8)
+
+    lo = [limb(0, j) for j in range(8)]
+    hi = [limb(16, j) for j in range(8)]
+
+    def mask_at(limbs, start_bit):
+        out = []
+        for j, x in enumerate(limbs):
+            avail = start_bit - 16 * j
+            if avail <= 0:
+                out.append(jnp.zeros((), jnp.uint32))
+            elif avail >= 16:
+                out.append(x)
+            else:
+                out.append(x & ((1 << avail) - 1))
+        return out
+
+    if bits < 128:
+        lo = mask_at(lo, bits)
+        hi = [jnp.zeros((), jnp.uint32)] * 8
+    elif bits < 256:
+        hi = mask_at(hi, bits - 128)
+    value = jnp.stack(lo + hi)
+    if l16 < 16:
+        value = value[:l16]
+    elif l16 > 16:
+        value = jnp.concatenate([value, jnp.zeros(l16 - 16, jnp.uint32)])
+    return value
+
+
+@partial(jax.jit, static_argnums=(0, 2, 5, 6, 7, 8, 9, 10))
+def _sumcheck_fs_kernel(
+    ctx: DeviceField,
+    buf: jnp.ndarray,  # (n_mles, B, L)
+    cfg_key,  # _StaticCfg (hashable: modulus identity)
+    coeffs: jnp.ndarray,
+    sponge_state,  # (lanes (25,2) u32, buf (136,) u8)
+    pos0: int,
+    degree: int,
+    idx_terms: tuple,
+    kinds: tuple,
+    n_dev_rounds: int,
+    use_pallas: bool,
+):
+    """Run n_dev_rounds sumcheck rounds with device Fiat-Shamir.
+
+    use_pallas=False runs the XLA round body instead (shapes shrink per
+    unrolled round) — the CPU-testable oracle of this whole program.
+    """
+    from .device import _round_body
+
+    l = buf.shape[2]
+    lanes, sbuf = sponge_state
+    sp = DeviceSponge(lanes, sbuf, pos0)
+    qbits, cfg = cfg_key.qbits, cfg_key.cfg
+    r2 = jnp.asarray(ctx.r2)
+
+    active = buf.shape[1]
+    evals_out = []
+    rs_out = []
+    r = jnp.zeros(l, jnp.uint32)
+    for rnd in range(n_dev_rounds):
+        if use_pallas:
+            if rnd == 0:
+                wide = _eval_fixed(
+                    ctx, buf, coeffs, degree, idx_terms, kinds, active // (2 * TILE)
+                )
+            else:
+                buf, wide = _fold_eval_fixed(
+                    ctx, buf, r, coeffs, degree, idx_terms, kinds, active // (4 * TILE)
+                )
+                active //= 2
+        else:
+            buf, wide = _round_body(
+                ctx, buf, (r, coeffs), rnd == 0, degree, idx_terms
+            )
+        evals = mod_reduce_wide(ctx, wide)  # (P, L) Montgomery residues
+        evals_out.append(evals)
+        # absorb the evaluations
+        frames = [_field_frame(cfg, evals[p]) for p in range(evals.shape[0])]
+        sp = sp.absorb(jnp.concatenate(frames))
+        # squeeze + ratchet
+        d = sp.digest()
+        ratchet = jnp.concatenate(
+            [jnp.zeros(1, jnp.uint8), d, jnp.full(1, 1, jnp.uint8)]
+        )
+        sp = sp.absorb(ratchet)
+        value = _digest_to_value_limbs(d, qbits, l)
+        r = mont_mul(ctx, value, r2)  # cfg.fp(value): to Montgomery form
+        rs_out.append(r)
+        # absorb the challenge
+        sp = sp.absorb(_field_frame(cfg, r))
+
+    return (
+        buf,
+        jnp.stack(evals_out),  # (rounds, P, L)
+        jnp.stack(rs_out),  # (rounds, L)
+        sp.lanes,
+        sp.buf,
+    )
+
+
+class _StaticCfg:
+    """Hashable static wrapper so cfg data rides as a jit static arg."""
+
+    def __init__(self, cfg: FieldConfig):
+        self.cfg = cfg
+        self.qbits = cfg.q.bit_length()
+
+    def __hash__(self):
+        return hash((self.cfg.q, self.cfg.n64))
+
+    def __eq__(self, other):
+        return isinstance(other, _StaticCfg) and self.cfg.q == other.cfg.q
+
+
+def prove_as_subprotocol_device_fs(
+    transcript: KeccakTranscript,
+    cfg: FieldConfig,
+    tables: jnp.ndarray,  # (n_mles, 2^nvars, L) Montgomery limbs
+    nvars: int,
+    degree: int,
+    comb,
+):
+    """Transcript-identical sumcheck with device-resident Fiat-Shamir.
+
+    Returns (proof, randomness, folded_tables_or_host_mles) like the
+    classical executor path; the host transcript object is advanced to the
+    exact state a host-side prover would have left it in.
+    """
+    from ..poly.device import fps_to_limbs
+    from .device import _use_pallas
+    from .prover import _absorb_nvars_degree, _fold, _round_evals
+    from .pallas_exec import PallasSumcheckExecutor
+
+    _absorb_nvars_degree(transcript, nvars, degree, cfg)
+
+    b = tables.shape[1]
+    use_pallas = _use_pallas(b)
+    # rounds runnable on device: eval at round r covers b/2^r entries ≥ 2·TILE
+    # (pallas); the XLA variant can run every round but gains nothing below
+    # a few thousand entries — same threshold keeps the tail on host.
+    n_dev = 0
+    size = b
+    while n_dev < nvars and size >= 2 * TILE:
+        n_dev += 1
+        size //= 2
+
+    ctx = device_field(cfg)
+    coeffs = jnp.asarray(fps_to_limbs([c for c, _ in comb], cfg))
+    idx_terms = tuple(tuple(idxs) for _, idxs in comb)
+    one = cfg.one()
+    neg_one = -one
+    kinds = tuple("u" if c == one else ("n" if c == neg_one else "g") for c, _ in comb)
+
+    proof: list[list[Fp]] = []
+    randomness: list[Fp] = []
+    mles_host = None
+    buf = jnp.asarray(tables)
+    active = b
+
+    if n_dev:
+        sp = DeviceSponge.from_host(transcript.h)
+        out = _sumcheck_fs_kernel(
+            ctx, buf, _StaticCfg(cfg), coeffs, (sp.lanes, sp.buf), sp.pos,
+            degree, idx_terms, kinds, n_dev, use_pallas,
+        )
+        buf, evals_dev, rs_dev, lanes, sbuf = out
+        # the buffer position is fully static: absorb totals mod the rate
+        frame = 2 * cfg.nbytes + 4
+        pos = (sp.pos + n_dev * ((degree + 1) * frame + 34 + frame)) % 136
+        evals_np = np.asarray(evals_dev)
+        rs_np = np.asarray(rs_dev)
+        lanes_np, sbuf_np = np.asarray(lanes), np.asarray(sbuf)
+        DeviceSponge(None, None, pos).export_to_host(transcript.h, lanes_np, sbuf_np)
+        for rnd in range(n_dev):
+            proof.append(
+                [limbs_to_fp(evals_np[rnd, p], cfg) for p in range(evals_np.shape[1])]
+            )
+            randomness.append(limbs_to_fp(rs_np[rnd], cfg))
+        active = b >> (n_dev - 1)
+
+    if n_dev == nvars:
+        # fold the final challenge on host over the downloaded remainder
+        arr = np.asarray(buf[:, : active, :])
+        mles_host = [
+            [limbs_to_fp(arr[i, x], cfg) for x in range(active)]
+            for i in range(arr.shape[0])
+        ]
+        mles_host = _fold(mles_host, randomness[-1])
+        return proof, randomness, mles_host
+
+    # host tail: download the live prefix and continue bit-identically
+    arr = np.asarray(buf[:, : active, :])
+    mles_host = [
+        [limbs_to_fp(arr[i, x], cfg) for x in range(active)]
+        for i in range(arr.shape[0])
+    ]
+    for rnd in range(n_dev, nvars):
+        if rnd > 0:
+            mles_host = _fold(mles_host, randomness[-1])
+        evals = _round_evals(mles_host, degree, comb, cfg)
+        transcript.absorb_field_slice(evals)
+        proof.append(evals)
+        r = transcript.get_challenge(cfg)
+        transcript.absorb_field(r)
+        randomness.append(r)
+    mles_host = _fold(mles_host, randomness[-1])
+    return proof, randomness, mles_host

@@ -29,7 +29,6 @@ from .limbs import (
     carry_sweep,
     cond_sub,
     int_to_limbs,
-    limbs_to_int,
     mul_columns,
     reduce_mod,
     sub_limbs,

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..hashing.blake3 import CHUNK_END, CHUNK_START, IV, MSG_PERMUTATION, PARENT, ROOT
+from ..hashing.blake3 import CHUNK_END, CHUNK_START, IV, MSG_PERMUTATION, ROOT
 
 _IV = np.array(IV, dtype=np.uint32)
 

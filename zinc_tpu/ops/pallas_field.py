@@ -25,7 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fields.limbs import MASK16
-from ..fields.montgomery import DeviceField, mont_add, mont_mul, mont_sub
+from ..fields.montgomery import DeviceField, mont_mul
 
 DEFAULT_TILE = 2048
 

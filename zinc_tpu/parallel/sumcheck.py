@@ -17,7 +17,7 @@ lazy sums decode to the same integers because limb lanes are summed exactly
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

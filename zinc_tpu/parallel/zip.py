@@ -81,7 +81,7 @@ def commit_device_sharded(
     fn = _sharded_commit_fn(mesh, row_len, rep, lk, pp.zt.k_words, n_levels)
     enc, layers_dev = fn(rows, jnp.asarray(p1), jnp.asarray(p2))
 
-    enc_np = np.asarray(enc)
+    enc_np = np.asarray(enc.astype(jnp.uint16))
     layers = [np.asarray(l) for l in layers_dev]
     roots = [layers[-1][r, 0].astype("<u4").tobytes() for r in range(num_rows)]
     return DeviceZipData(enc_np, layers, roots), ZipCommitment(roots)

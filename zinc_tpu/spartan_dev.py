@@ -17,13 +17,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ccs import CCS, Statement
-from .fields.config import FieldConfig, Fp
+from .fields.config import FieldConfig
 from .ops.field_map import i64_to_field_device, ints_to_field_device
-from .ops.sparse import DeviceCsr, eval_table_device, mat_vec_mul_device, upload_matrix
-from .poly.device import build_eq_table_device, fps_to_limbs
+from .ops.sparse import upload_matrix
+from .poly.device import fps_to_limbs
 from .fields.montgomery import device_field, mont_add, mont_mul
 from .spartan import SpartanProof, squeeze_beta_challenges, squeeze_gamma_challenge
-from .sumcheck.device import DeviceSumcheckExecutor, prove_as_subprotocol_device
+from .sumcheck.device import prove_as_subprotocol_device
 from .transcript import KeccakTranscript
 
 

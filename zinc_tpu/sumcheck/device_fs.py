@@ -24,7 +24,6 @@ import numpy as np
 from ..fields.config import FieldConfig, Fp
 from ..fields.montgomery import DeviceField, device_field, mod_reduce_wide, mont_mul
 from ..ops.keccak_kernel import DeviceSponge
-from ..ops.pallas_field import _eval_sums_width
 from ..poly.device import limbs_to_fp
 from ..transcript import KeccakTranscript
 from .pallas_exec import TILE, _eval_fixed, _fold_eval_fixed
@@ -186,7 +185,6 @@ def prove_as_subprotocol_device_fs(
     from ..poly.device import fps_to_limbs
     from .device import _use_pallas
     from .prover import _absorb_nvars_degree, _fold, _round_evals
-    from .pallas_exec import PallasSumcheckExecutor
 
     _absorb_nvars_degree(transcript, nvars, degree, cfg)
 

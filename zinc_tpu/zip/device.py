@@ -32,7 +32,7 @@ from ..fields.integers import (
     ints_to_mag8,
     sign_extend,
 )
-from ..fields.limbs import carry_sweep, i64_to_limbs, ints_to_limbs
+from ..fields.limbs import i64_to_limbs, ints_to_limbs
 from ..fields.montgomery import device_field, lazy_sum, mod_reduce_wide, mont_mul
 from ..ops.blake3_kernel import merkle_tree_device
 from ..poly.device import build_eq_table_device
@@ -44,7 +44,7 @@ from .transcript import PcsTranscript
 class DeviceZipData:
     """Prover-side commitment data, downloaded for proof assembly."""
 
-    enc_limbs: np.ndarray  # (R, cw, Lk) uint32 two's-complement limbs
+    enc_limbs: np.ndarray  # (R, cw, Lk) uint16 two's-complement limbs
     layers: list  # list[np.ndarray (R, n_level, 8) uint32], leaves first
     roots: list  # list[bytes]
 
@@ -81,7 +81,8 @@ def commit_device(
         z_limbs, row_len, rep, lk, jnp.asarray(p1), jnp.asarray(p2)
     )
     layers_dev = merkle_tree_device(enc, pp.zt.k_words)
-    enc_np = np.asarray(enc)
+    # limbs are 16-bit values: download as u16 — halves the biggest transfer
+    enc_np = np.asarray(enc.astype(jnp.uint16))
     layers = [np.asarray(l) for l in layers_dev]
     roots = [layers[-1][r, 0].astype("<u4").tobytes() for r in range(enc_np.shape[0])]
     return DeviceZipData(enc_np, layers, roots), ZipCommitment(roots)

@@ -48,26 +48,36 @@ def _device_round_ms(cfg, n_mles: int, b: int, degree: int, idx_terms, iters: in
 
     if _use_pallas(b):
         # the production path: ONE fused fold+evaluate launch per round
-        # (sumcheck/pallas_exec.py), Spartan-shaped ±1 coefficients
+        # (sumcheck/pallas_exec.py), Spartan-shaped ±1 coefficients.
+        # In production whole sumchecks run device-resident in a single
+        # dispatch chain (sumcheck/device_fs.py), so the per-round cost is
+        # the on-chip kernel latency — measure it by chaining K dependent
+        # rounds (each consumes the previous round's donated buffer) and
+        # differencing two chain lengths, which cancels the host↔device
+        # sync floor (~33 ms over the axon tunnel) and the buffer copy.
         from zinc_tpu.sumcheck.pallas_exec import TILE, _fold_eval_fixed
 
         kinds = ("u", "n", "u")[: len(idx_terms)]
+        nb = b // (4 * TILE)
 
         import jax.numpy as jnp
 
-        def run():
-            # fresh device copy each call — the kernel donates its input
-            buf, wide = _fold_eval_fixed(
-                ctx, tables_d + jnp.uint32(0), r_d, coeffs_d, degree,
-                idx_terms, kinds, b // (4 * TILE),
-            )
-            return wide
+        def chain_s(k: int) -> float:
+            t0 = time.perf_counter()
+            buf = tables_d + jnp.uint32(0)
+            wide = None
+            for _ in range(k):
+                buf, wide = _fold_eval_fixed(
+                    ctx, buf, r_d, coeffs_d, degree, idx_terms, kinds, nb
+                )
+            np.asarray(wide)  # one fetch closes the whole chain
+            return time.perf_counter() - t0
 
-        np.asarray(run())  # warmup/compile
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            np.asarray(run())
-        return (time.perf_counter() - t0) / iters * 1e3
+        k_short, k_long = 1, 1 + 8
+        chain_s(k_short)  # warmup/compile
+        short = min(chain_s(k_short) for _ in range(iters))
+        long = min(chain_s(k_long) for _ in range(iters))
+        return max(long - short, 1e-9) / (k_long - k_short) * 1e3
 
     # XLA fallback (CPU)
     out = _round_kernel(ctx, tables_d, (r_d, coeffs_d), False, degree, idx_terms)

@@ -6,7 +6,15 @@ twins, ``virtual`` the HyperPlonk-derived helper kit, ``util`` the index
 helpers, and ``device`` the limb-array device engine.
 """
 
-from .mle import DenseMleF, DenseMleZ, build_eq_x_r, build_eq_x_r_vec, eq_eval
+from .mle import (
+    DenseMleF,
+    DenseMleZ,
+    build_eq_x_r,
+    build_eq_x_r_vec,
+    build_eq_x_r_vec_z,
+    build_eq_x_r_z,
+    eq_eval,
+)
 from .sparse_mle import SparseMleF, SparseMleZ
 from .util import bit_decompose, gen_eval_point, get_batched_nv, get_index, project
 from .virtual import (
@@ -29,6 +37,8 @@ __all__ = [
     "SparseMleZ",
     "build_eq_x_r",
     "build_eq_x_r_vec",
+    "build_eq_x_r_vec_z",
+    "build_eq_x_r_z",
     "eq_eval",
     "bit_decompose",
     "gen_eval_point",

@@ -41,6 +41,38 @@ def main() -> None:
         code = RaaCode(DefaultLinearCodeSpec(), n, t, ZT)
         pp = setup(n, code, ZT)
 
+        # sub-metrics mirroring zip_benches.rs: encode_rows (on-chip, forced
+        # by a scalar reduction), merkle_root, commit_no_merkle (encode +
+        # codeword download, i.e. commit minus the tree)
+        import jax.numpy as jnp
+
+        from zinc_tpu.fields.limbs import i64_to_limbs
+        from zinc_tpu.ops.blake3_kernel import merkle_tree_device
+        from zinc_tpu.zip.device import _raa_encode_rows
+
+        lk = 4 * ZT.k_words
+        p1, p2 = pp.code.permutations()
+        z_limbs = jax.device_put(i64_to_limbs(z_vals, 4 * ZT.n_words))
+        p1_d, p2_d = jax.device_put(np.asarray(p1)), jax.device_put(np.asarray(p2))
+
+        def encode():
+            return _raa_encode_rows(z_limbs, pp.code.row_len, pp.code.repetition_factor, lk, p1_d, p2_d)
+
+        np.asarray(jnp.max(encode()))  # warmup/compile
+        t0 = time.perf_counter()
+        enc = encode()
+        np.asarray(jnp.max(enc))
+        encode_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        layers = merkle_tree_device(enc, ZT.k_words)
+        np.asarray(jnp.max(layers[-1]))
+        merkle_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        np.asarray(encode().astype(jnp.uint16))
+        commit_nm_s = time.perf_counter() - t0
+
         t0 = time.perf_counter()
         data, comm = commit_device(pp, z_vals, cfg)
         commit_s = time.perf_counter() - t0
@@ -60,6 +92,9 @@ def main() -> None:
         verify_poly(pp, comm, point, v, PcsTranscript.from_proof(proof), cfg)
         verify_s = time.perf_counter() - t0
 
+        print(json.dumps({"metric": f"zip_encode_rows_2p{log_n}", "value": round(encode_s * 1e3, 1), "unit": "ms"}))
+        print(json.dumps({"metric": f"zip_merkle_root_2p{log_n}", "value": round(merkle_s * 1e3, 1), "unit": "ms"}))
+        print(json.dumps({"metric": f"zip_commit_no_merkle_2p{log_n}", "value": round(commit_nm_s * 1e3, 1), "unit": "ms"}))
         print(json.dumps({"metric": f"zip_commit_2p{log_n}", "value": round(commit_s * 1e3, 1), "unit": "ms"}))
         print(json.dumps({"metric": f"zip_open_2p{log_n}", "value": round(open_s * 1e3, 1), "unit": "ms"}))
         print(json.dumps({"metric": f"zip_verify_2p{log_n}", "value": round(verify_s * 1e3, 1), "unit": "ms"}))

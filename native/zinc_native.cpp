@@ -215,6 +215,140 @@ static void b3_subtree_cv(const uint8_t* data, uint64_t start_chunk, uint64_t ch
     b3_parent_cv(lcv, rcv, 0, cv_out);
 }
 
+// ---------------------------------------------------------------------------
+// 16-lane vectorized BLAKE3 single-block compress (GCC vector extensions;
+// lowers to AVX-512 / 2xAVX2 under -march=native).  Each lane is an
+// independent message — used for batched equal-length leaf hashing and
+// Merkle path folding where every compression is a one-block hash
+// (cv = IV, counter = 0, CHUNK_START|CHUNK_END|ROOT).
+// ---------------------------------------------------------------------------
+
+typedef uint32_t v16 __attribute__((vector_size(64)));
+
+static inline v16 rotr16v(v16 x, int n) { return (x >> n) | (x << (32 - n)); }
+
+static inline void b3_g16(v16* st, int a, int b, int c, int d, v16 mx, v16 my) {
+    st[a] = st[a] + st[b] + mx;
+    st[d] = rotr16v(st[d] ^ st[a], 16);
+    st[c] = st[c] + st[d];
+    st[b] = rotr16v(st[b] ^ st[c], 12);
+    st[a] = st[a] + st[b] + my;
+    st[d] = rotr16v(st[d] ^ st[a], 8);
+    st[c] = st[c] + st[d];
+    st[b] = rotr16v(st[b] ^ st[c], 7);
+}
+
+// sched[r][i] = index into the ORIGINAL message of the word at position i in
+// round r (replaces the physical permutation of the scalar path).
+static uint8_t B3_SCHED[7][16];
+static bool b3_sched_init = []() {
+    for (int i = 0; i < 16; ++i) B3_SCHED[0][i] = (uint8_t)i;
+    for (int r = 1; r < 7; ++r)
+        for (int i = 0; i < 16; ++i) B3_SCHED[r][i] = B3_SCHED[r - 1][B3_MSG_PERM[i]];
+    return true;
+}();
+
+// One-block hash of 16 lanes: m[16] transposed message words, block_len and
+// flags shared across lanes; result (transposed) written into dig[8].
+static void b3_compress16_oneblock(const v16 m[16], uint32_t block_len, v16 dig[8]) {
+    v16 st[16];
+    for (int i = 0; i < 8; ++i) st[i] = B3_IV[i] - v16{};  // broadcast
+    st[8] = B3_IV[0] - v16{};
+    st[9] = B3_IV[1] - v16{};
+    st[10] = B3_IV[2] - v16{};
+    st[11] = B3_IV[3] - v16{};
+    st[12] = v16{};
+    st[13] = v16{};
+    st[14] = block_len - v16{};
+    st[15] = (uint32_t)(B3_CHUNK_START | B3_CHUNK_END | B3_ROOT) - v16{};
+    for (int r = 0; r < 7; ++r) {
+        const uint8_t* s = B3_SCHED[r];
+        b3_g16(st, 0, 4, 8, 12, m[s[0]], m[s[1]]);
+        b3_g16(st, 1, 5, 9, 13, m[s[2]], m[s[3]]);
+        b3_g16(st, 2, 6, 10, 14, m[s[4]], m[s[5]]);
+        b3_g16(st, 3, 7, 11, 15, m[s[6]], m[s[7]]);
+        b3_g16(st, 0, 5, 10, 15, m[s[8]], m[s[9]]);
+        b3_g16(st, 1, 6, 11, 12, m[s[10]], m[s[11]]);
+        b3_g16(st, 2, 7, 8, 13, m[s[12]], m[s[13]]);
+        b3_g16(st, 3, 4, 9, 14, m[s[14]], m[s[15]]);
+    }
+    for (int i = 0; i < 8; ++i) dig[i] = st[i] ^ st[i + 8];
+}
+
+// Strided-path Merkle fold core: path p's siblings live at
+//   sib_base + (p / paths_per_rec) * rec_stride + (p % paths_per_rec) * path_stride
+// (depth consecutive 32-byte digests).  16 paths folded per vector group.
+static void merkle_fold_core(const uint8_t* leaves, const uint8_t* sib_base,
+                             uint64_t rec_stride, uint64_t paths_per_rec,
+                             uint64_t path_stride, const uint64_t* indices, uint64_t n,
+                             uint64_t depth, uint8_t* out) {
+    uint64_t p = 0;
+    for (; p + 16 <= n; p += 16) {
+        const uint8_t* sib_ptr[16];
+        uint64_t idx[16];
+        v16 dig[8];
+        uint32_t tmp[8][16];
+        for (int l = 0; l < 16; ++l) {
+            uint64_t q = p + l;
+            sib_ptr[l] = sib_base + (q / paths_per_rec) * rec_stride +
+                         (q % paths_per_rec) * path_stride;
+            idx[l] = indices[q];
+            uint32_t lw[8];
+            std::memcpy(lw, leaves + 32 * q, 32);
+            for (int w = 0; w < 8; ++w) tmp[w][l] = lw[w];
+        }
+        for (int w = 0; w < 8; ++w) std::memcpy(&dig[w], tmp[w], 64);
+        for (uint64_t d = 0; d < depth; ++d) {
+            v16 sib[8], bm;
+            uint32_t bits[16];
+            for (int l = 0; l < 16; ++l) {
+                uint32_t sw[8];
+                std::memcpy(sw, sib_ptr[l] + d * 32, 32);
+                for (int w = 0; w < 8; ++w) tmp[w][l] = sw[w];
+                bits[l] = (idx[l] >> d) & 1 ? 0xFFFFFFFFu : 0;
+            }
+            std::memcpy(&bm, bits, 64);
+            for (int w = 0; w < 8; ++w) std::memcpy(&sib[w], tmp[w], 64);
+            v16 m[16];
+            for (int w = 0; w < 8; ++w) {
+                m[w] = (sib[w] & bm) | (dig[w] & ~bm);      // left child
+                m[8 + w] = (dig[w] & bm) | (sib[w] & ~bm);  // right child
+            }
+            b3_compress16_oneblock(m, 64, dig);
+        }
+        for (int w = 0; w < 8; ++w) std::memcpy(tmp[w], &dig[w], 64);
+        for (int l = 0; l < 16; ++l) {
+            uint32_t ow[8];
+            for (int w = 0; w < 8; ++w) ow[w] = tmp[w][l];
+            std::memcpy(out + 32 * (p + l), ow, 32);
+        }
+    }
+    for (; p < n; ++p) {  // scalar tail
+        uint8_t cur[64], digest[32];
+        std::memcpy(digest, leaves + 32 * p, 32);
+        const uint8_t* sp = sib_base + (p / paths_per_rec) * rec_stride +
+                            (p % paths_per_rec) * path_stride;
+        uint64_t idx = indices[p];
+        for (uint64_t d = 0; d < depth; ++d) {
+            const uint8_t* sib = sp + d * 32;
+            if (idx & 1) {
+                std::memcpy(cur, sib, 32);
+                std::memcpy(cur + 32, digest, 32);
+            } else {
+                std::memcpy(cur, digest, 32);
+                std::memcpy(cur + 32, sib, 32);
+            }
+            uint32_t cv[8];
+            uint32_t block[16];
+            std::memcpy(block, cur, 64);
+            b3_compress(B3_IV, block, 0, 64, B3_CHUNK_START | B3_CHUNK_END | B3_ROOT, cv);
+            std::memcpy(digest, cv, 32);
+            idx >>= 1;
+        }
+        std::memcpy(out + 32 * p, digest, 32);
+    }
+}
+
 extern "C" {
 
 void zn_blake3(const uint8_t* data, uint64_t len, uint8_t* out32) {
@@ -233,14 +367,47 @@ void zn_blake3(const uint8_t* data, uint64_t len, uint8_t* out32) {
     std::memcpy(out32, root, 32);
 }
 
+// 16-lane one-block batch hash for equal-length messages <= 64 bytes.
+static void blake3_batch_short(const uint8_t* data, uint64_t n, uint64_t msg_len,
+                               uint8_t* out) {
+    uint64_t p = 0;
+    for (; p + 16 <= n; p += 16) {
+        uint32_t tmp[16][16];
+        std::memset(tmp, 0, sizeof(tmp));
+        for (int l = 0; l < 16; ++l) {
+            uint8_t block[64];
+            std::memset(block, 0, 64);
+            std::memcpy(block, data + (p + l) * msg_len, msg_len);
+            uint32_t bw[16];
+            std::memcpy(bw, block, 64);
+            for (int w = 0; w < 16; ++w) tmp[w][l] = bw[w];
+        }
+        v16 m[16], dig[8];
+        for (int w = 0; w < 16; ++w) std::memcpy(&m[w], tmp[w], 64);
+        b3_compress16_oneblock(m, (uint32_t)msg_len, dig);
+        uint32_t ot[8][16];
+        for (int w = 0; w < 8; ++w) std::memcpy(ot[w], &dig[w], 64);
+        for (int l = 0; l < 16; ++l) {
+            uint32_t ow[8];
+            for (int w = 0; w < 8; ++w) ow[w] = ot[w][l];
+            std::memcpy(out + 32 * (p + l), ow, 32);
+        }
+    }
+    for (; p < n; ++p) zn_blake3(data + p * msg_len, msg_len, out + 32 * p);
+}
+
 // n equal-length messages, contiguous with the given stride.
 void zn_blake3_batch(const uint8_t* data, uint64_t n, uint64_t msg_len, uint8_t* out) {
+    if (msg_len <= 64) {
+        blake3_batch_short(data, n, msg_len, out);
+        return;
+    }
     for (uint64_t i = 0; i < n; ++i) zn_blake3(data + i * msg_len, msg_len, out + 32 * i);
 }
 
 // n digest pairs (64 bytes each) -> n parent digests (Merkle level merge).
 void zn_blake3_merge_batch(const uint8_t* pairs, uint64_t n, uint8_t* out) {
-    for (uint64_t i = 0; i < n; ++i) zn_blake3(pairs + 64 * i, 64, out + 32 * i);
+    blake3_batch_short(pairs, n, 64, out);
 }
 
 // Verify a batch of Merkle paths: for each of n leaves, fold `depth`
@@ -250,25 +417,18 @@ void zn_blake3_merge_batch(const uint8_t* pairs, uint64_t n, uint8_t* out) {
 // compares against the committed roots.
 void zn_merkle_fold_batch(const uint8_t* leaves, const uint8_t* siblings,
                           const uint64_t* indices, uint64_t n, uint64_t depth, uint8_t* out) {
-    for (uint64_t i = 0; i < n; ++i) {
-        uint8_t cur[64];
-        uint8_t digest[32];
-        std::memcpy(digest, leaves + 32 * i, 32);
-        uint64_t idx = indices[i];
-        for (uint64_t d = 0; d < depth; ++d) {
-            const uint8_t* sib = siblings + (i * depth + d) * 32;
-            if (idx & 1) {
-                std::memcpy(cur, sib, 32);
-                std::memcpy(cur + 32, digest, 32);
-            } else {
-                std::memcpy(cur, digest, 32);
-                std::memcpy(cur + 32, sib, 32);
-            }
-            zn_blake3(cur, 64, digest);
-            idx >>= 1;
-        }
-        std::memcpy(out + 32 * i, digest, 32);
-    }
+    merkle_fold_core(leaves, siblings, 0, n ? n : 1, depth * 32, indices, n, depth, out);
+}
+
+// Strided variant: paths_per_rec paths per record, records rec_stride bytes
+// apart, paths path_stride bytes apart within a record (lets the verifier
+// fold straight out of the raw proof buffer with no repacking copy).
+void zn_merkle_fold_batch_strided(const uint8_t* leaves, const uint8_t* sib_base,
+                                  uint64_t rec_stride, uint64_t paths_per_rec,
+                                  uint64_t path_stride, const uint64_t* indices, uint64_t n,
+                                  uint64_t depth, uint8_t* out) {
+    merkle_fold_core(leaves, sib_base, rec_stride, paths_per_rec, path_stride, indices, n,
+                     depth, out);
 }
 
 }  // extern "C"

@@ -66,6 +66,10 @@ def get_lib():
         lib.zn_merkle_fold_batch.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, u64p, ctypes.c_uint64, ctypes.c_uint64, u8p,
         ]
+        lib.zn_merkle_fold_batch_strided.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint64, u64p, ctypes.c_uint64, ctypes.c_uint64, u8p,
+        ]
         _lib = lib
         return _lib
 
@@ -89,4 +93,36 @@ def merkle_fold_batch(leaves: bytes, siblings: bytes, indices, depth: int) -> by
     idx_arr = (ctypes.c_uint64 * n)(*indices)
     out = (ctypes.c_uint8 * (32 * n))()
     lib.zn_merkle_fold_batch(leaves, siblings, idx_arr, n, depth, out)
+    return bytes(out)
+
+
+def merkle_fold_batch_strided(
+    leaves: bytes,
+    sib_buffer,
+    sib_offset: int,
+    rec_stride: int,
+    paths_per_rec: int,
+    path_stride: int,
+    indices,
+    depth: int,
+) -> bytes | None:
+    """Fold n Merkle paths whose siblings live inside a strided record buffer
+    (e.g. the raw proof byte stream) — no repacking copy.  ``indices`` is a
+    uint64 numpy array; path p's siblings start at
+    ``sib_buffer[sib_offset + (p//paths_per_rec)*rec_stride + (p%paths_per_rec)*path_stride]``.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    n = len(leaves) // 32
+    idx_arr = np.ascontiguousarray(indices, dtype=np.uint64)
+    buf = np.frombuffer(sib_buffer, np.uint8)
+    base = buf.ctypes.data + sib_offset
+    out = (ctypes.c_uint8 * (32 * n))()
+    lib.zn_merkle_fold_batch_strided(
+        leaves, ctypes.c_void_p(base), rec_stride, paths_per_rec, path_stride,
+        idx_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n, depth, out,
+    )
     return bytes(out)

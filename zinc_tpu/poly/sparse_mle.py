@@ -11,7 +11,20 @@ prover's hot path.
 from __future__ import annotations
 
 from ..fields.config import FieldConfig, Fp
-from .mle import DenseMleF, DenseMleZ
+from .mle import DenseMleF, DenseMleZ, _swap_bits
+
+
+def _relabel_entries(entries, num_vars: int, a: int, b: int, k: int):
+    """Shared relabel core (src/poly_f/mle/sparse.rs:148-171)."""
+    if a > b:
+        a, b = b, a
+    if a == b or k == 0:
+        return dict(entries)
+    if b + k > num_vars:
+        raise ValueError("invalid relabel argument")
+    if a + k > b:
+        raise ValueError("overlapped swap window is not allowed")
+    return {_swap_bits(i, a, b, k): v for i, v in entries.items()}
 
 
 class SparseMleF:
@@ -79,6 +92,63 @@ class SparseMleF:
             evals[idx] = val
         return DenseMleF(self.num_vars, evals, self.cfg)
 
+    def to_evaluations(self) -> list[Fp]:
+        return self.to_dense().evaluations
+
+    @staticmethod
+    def rand_with_config(
+        num_vars: int, num_nonzero: int, cfg: FieldConfig, rng
+    ) -> "SparseMleF":
+        """Uniform random sparse MLE with `num_nonzero` rejection-sampled
+        distinct indices (src/poly_f/mle/sparse.rs:68-98)."""
+        if num_nonzero > 1 << num_vars:
+            raise ValueError("more nonzero entries than the hypercube")
+        entries: dict[int, Fp] = {}
+        while len(entries) < num_nonzero:
+            idx = rng.randrange(1 << num_vars)
+            if idx not in entries:
+                entries[idx] = cfg.fp(rng.randrange(cfg.q))
+        return SparseMleF(num_vars, entries, cfg)
+
+    @staticmethod
+    def rand(num_vars: int, cfg: FieldConfig, rng) -> "SparseMleF":
+        """sqrt(2^num_vars) nonzero entries (src/poly_f/mle/sparse.rs:144-146)."""
+        return SparseMleF.rand_with_config(num_vars, 1 << (num_vars // 2), cfg, rng)
+
+    def relabel(self, a: int, b: int, k: int) -> "SparseMleF":
+        return SparseMleF(
+            self.num_vars, _relabel_entries(self.entries, self.num_vars, a, b, k), self.cfg
+        )
+
+    # -- ring ops (sparse union; src/poly_f/mle/sparse.rs:232-420) -----------
+
+    def _check_compat(self, other: "SparseMleF") -> None:
+        if self.num_vars != other.num_vars:
+            raise ValueError("trying to combine sparse MLEs with different numbers of variables")
+
+    def __add__(self, other: "SparseMleF") -> "SparseMleF":
+        if not other.entries:
+            return SparseMleF(self.num_vars, self.entries, self.cfg)
+        if not self.entries:
+            return SparseMleF(other.num_vars, other.entries, other.cfg)
+        self._check_compat(other)
+        out = dict(self.entries)
+        for i, v in other.entries.items():
+            cur = out.get(i)
+            out[i] = v if cur is None else cur + v
+        return SparseMleF(self.num_vars, out, self.cfg)
+
+    def __neg__(self) -> "SparseMleF":
+        return SparseMleF(self.num_vars, {i: -v for i, v in self.entries.items()}, self.cfg)
+
+    def __sub__(self, other: "SparseMleF") -> "SparseMleF":
+        return self + (-other)
+
+    def __mul__(self, scalar: Fp) -> "SparseMleF":
+        return SparseMleF(
+            self.num_vars, {i: v * scalar for i, v in self.entries.items()}, self.cfg
+        )
+
     def __eq__(self, other) -> bool:
         return (
             isinstance(other, SparseMleF)
@@ -125,6 +195,36 @@ class SparseMleZ:
         for idx, val in self.entries.items():
             evals[idx] = val
         return DenseMleZ(self.num_vars, evals)
+
+    def to_evaluations(self) -> list[int]:
+        return self.to_dense().evaluations
+
+    def relabel(self, a: int, b: int, k: int) -> "SparseMleZ":
+        return SparseMleZ(self.num_vars, _relabel_entries(self.entries, self.num_vars, a, b, k))
+
+    def _check_compat(self, other: "SparseMleZ") -> None:
+        if self.num_vars != other.num_vars:
+            raise ValueError("trying to combine sparse MLEs with different numbers of variables")
+
+    def __add__(self, other: "SparseMleZ") -> "SparseMleZ":
+        if not other.entries:
+            return SparseMleZ(self.num_vars, self.entries)
+        if not self.entries:
+            return SparseMleZ(other.num_vars, other.entries)
+        self._check_compat(other)
+        out = dict(self.entries)
+        for i, v in other.entries.items():
+            out[i] = out.get(i, 0) + v
+        return SparseMleZ(self.num_vars, out)
+
+    def __neg__(self) -> "SparseMleZ":
+        return SparseMleZ(self.num_vars, {i: -v for i, v in self.entries.items()})
+
+    def __sub__(self, other: "SparseMleZ") -> "SparseMleZ":
+        return self + (-other)
+
+    def __mul__(self, scalar: int) -> "SparseMleZ":
+        return SparseMleZ(self.num_vars, {i: v * scalar for i, v in self.entries.items()})
 
     def __eq__(self, other) -> bool:
         return (

@@ -232,7 +232,10 @@ def verify_poly(
     sign_pm = np.where(neg, -1, 1).astype(np.int32)
 
     # integer proximity: Σ_r coeff_r · v_{r,c} must re-encode to the claimed
-    # combined rows at the opened columns
+    # combined rows at the opened columns.  Device combinations are DISPATCHED
+    # here but fetched only after the host-side Merkle work below — JAX
+    # dispatch is asynchronous, so the chip computes while the host hashes.
+    deferred: list = []  # (device_array, expected_ndarray, error_message)
     if num_rows > 1:
         from ..fields.integers import combine_rows_signed, ints_to_mag8
         from ..fields.limbs import ints_to_limbs
@@ -244,15 +247,12 @@ def verify_poly(
         out16 = 4 * pp.zt.m_words
         for coeffs, encoded in prox:
             c_mag8, c_sign = ints_to_mag8(coeffs, 8 * pp.zt.n_words)
-            combined = np.asarray(
-                combine_rows_signed(
-                    jnp.asarray(c_mag8), jnp.asarray(c_sign),
-                    jnp.asarray(eval_mag8), jnp.asarray(eval_sign), out16,
-                )
-            )  # (n_open, out16) two's-complement limbs
+            combined = combine_rows_signed(
+                jnp.asarray(c_mag8), jnp.asarray(c_sign),
+                jnp.asarray(eval_mag8), jnp.asarray(eval_sign), out16,
+            )  # (n_open, out16) two's-complement limbs, device-resident
             expected = ints_to_limbs([encoded[c] for c in cols.tolist()], out16)
-            if not np.array_equal(combined, expected):
-                raise PcsError("proximity failure (integer phase)")
+            deferred.append((combined, expected, "proximity failure (integer phase)"))
     else:
         def _value(i: int, r: int) -> int:
             m = sum(int(mag[i, r, w]) << (64 * w) for w in range(kw))
@@ -263,50 +263,14 @@ def verify_poly(
                 if _value(i, 0) != encoded[c]:
                     raise PcsError("proximity failure (integer phase)")
 
-    # Merkle: every path must carry the tree depth and fold to the row root
-    if not (
-        pathsec[:, :, :8] == np.frombuffer(depth.to_bytes(8, "big"), np.uint8)
-    ).all():
-        raise PcsError("inconsistent Merkle path depth")
-    leaves = words.astype(">u8").tobytes()  # LE word order, BE bytes per word
-    from ..hashing.blake3 import blake3
-    from ..native import blake3_batch, merkle_fold_batch
-
-    n_paths = n_open * num_rows
-    leaves_hashed = blake3_batch(leaves, n_paths, kw * 8)
-    if leaves_hashed is None:
-        leaves_hashed = b"".join(
-            blake3(leaves[i * kw * 8 : (i + 1) * kw * 8]) for i in range(n_paths)
-        )
-    sib_bytes = np.ascontiguousarray(pathsec[:, :, 8:]).tobytes()
-    indices = np.repeat(cols, num_rows).tolist()
-    folded = merkle_fold_batch(leaves_hashed, sib_bytes, indices, depth)
-    if folded is not None:
-        folded_arr = np.frombuffer(folded, np.uint8).reshape(n_open, num_rows, 32)
-        roots_arr = np.frombuffer(b"".join(comm.roots), np.uint8).reshape(num_rows, 32)
-        if not np.array_equal(folded_arr, np.broadcast_to(roots_arr, folded_arr.shape)):
-            raise PcsError("Merkle path verification failed")
-    else:  # pure-Python fallback
-        for i in range(n_paths):
-            lb = leaves[i * kw * 8 : (i + 1) * kw * 8]
-            pb = sib_bytes[i * depth * 32 : (i + 1) * depth * 32]
-            path = [pb[32 * d : 32 * d + 32] for d in range(depth)]
-            if not verify_merkle_path(comm.roots[i % num_rows], lb, indices[i], path):
-                raise PcsError("Merkle path verification failed")
-
-    # ---- evaluation phase -------------------------------------------------
+    # ---- evaluation phase reads + field-phase dispatch --------------------
+    # The proof reads for the evaluation phase come after the column records
+    # in the byte stream (all already consumed above), so the combined row
+    # can be read now and the field-phase device combination dispatched
+    # before the host does the Merkle folding.
     q_0_combined_row = transcript.read_field_elements(row_len, cfg)
-    encoded_combined_row_f = pp.code.encode_f(q_0_combined_row, cfg)
     q_0, q_1 = _point_to_tensor(pp.num_rows, point, cfg)
 
-    acc = cfg.zero()
-    for a, b in zip(q_0_combined_row, q_1):
-        acc = acc + a * b
-    if not acc == eval_claim:
-        raise PcsError("evaluation consistency failure")
-
-    # field-phase proximity: Σ_r q0_r·f(v_{r,c}) == encode_f(q0ᵀU)[c], batched
-    # on device (Montgomery limb arithmetic over all opened columns at once)
     if num_rows > 1:
         from ..fields.montgomery import device_field, lazy_sum, mod_reduce_wide, mont_mul
         from ..ops.field_map import _wide_to_field
@@ -320,13 +284,66 @@ def verify_poly(
         q0_l = jnp.asarray(fps_to_limbs(q_0, cfg))  # (R, L)
         prod = mont_mul(ctx, q0_l[None, :, :], vals_f)  # (C, R, L)
         wide = lazy_sum(ctx, prod, axis=1)  # (C, Lw)
-        combined_f = np.asarray(mod_reduce_wide(ctx, wide))  # (C, L) mont
+        combined_f_dev = mod_reduce_wide(ctx, wide)  # (C, L) mont, device-resident
+
+    # host work while the chip runs: re-encode over the field, check the
+    # evaluation claim, and fold every Merkle path natively
+    encoded_combined_row_f = pp.code.encode_f(q_0_combined_row, cfg)
+
+    acc = cfg.zero()
+    for a, b in zip(q_0_combined_row, q_1):
+        acc = acc + a * b
+    if not acc == eval_claim:
+        raise PcsError("evaluation consistency failure")
+
+    # Merkle: every path must carry the tree depth and fold to the row root
+    if not (
+        pathsec[:, :, :8] == np.frombuffer(depth.to_bytes(8, "big"), np.uint8)
+    ).all():
+        raise PcsError("inconsistent Merkle path depth")
+    leaves = words.astype(">u8").tobytes()  # LE word order, BE bytes per word
+    from ..hashing.blake3 import blake3
+    from ..native import blake3_batch, merkle_fold_batch_strided
+
+    n_paths = n_open * num_rows
+    leaves_hashed = blake3_batch(leaves, n_paths, kw * 8)
+    if leaves_hashed is None:
+        leaves_hashed = b"".join(
+            blake3(leaves[i * kw * 8 : (i + 1) * kw * 8]) for i in range(n_paths)
+        )
+    indices = np.repeat(cols, num_rows)
+    # fold straight out of the raw proof buffer (record-strided, no copy)
+    folded = merkle_fold_batch_strided(
+        leaves_hashed, raw, val_bytes + 8, rec_bytes, num_rows, 8 + depth * 32,
+        indices, depth,
+    )
+    if folded is not None:
+        folded_arr = np.frombuffer(folded, np.uint8).reshape(n_open, num_rows, 32)
+        roots_arr = np.frombuffer(b"".join(comm.roots), np.uint8).reshape(num_rows, 32)
+        if not np.array_equal(folded_arr, np.broadcast_to(roots_arr, folded_arr.shape)):
+            raise PcsError("Merkle path verification failed")
+    else:  # pure-Python fallback
+        sib_bytes = np.ascontiguousarray(pathsec[:, :, 8:]).tobytes()
+        for i in range(n_paths):
+            lb = leaves[i * kw * 8 : (i + 1) * kw * 8]
+            pb = sib_bytes[i * depth * 32 : (i + 1) * depth * 32]
+            path = [pb[32 * d : 32 * d + 32] for d in range(depth)]
+            if not verify_merkle_path(comm.roots[i % num_rows], lb, int(indices[i]), path):
+                raise PcsError("Merkle path verification failed")
+
+    # ---- fetch + compare the deferred device combinations ------------------
+    for combined_dev, expected, msg in deferred:
+        if not np.array_equal(np.asarray(combined_dev), expected):
+            raise PcsError(msg)
+
+    # field-phase proximity: Σ_r q0_r·f(v_{r,c}) == encode_f(q0ᵀU)[c]
+    if num_rows > 1:
         from ..fields.limbs import ints_to_limbs as _itl
 
         expected_f = _itl(
             [encoded_combined_row_f[c].m for c in cols.tolist()], cfg.n16
         )
-        if not np.array_equal(combined_f, expected_f):
+        if not np.array_equal(np.asarray(combined_f_dev), expected_f):
             raise PcsError("proximity failure (field phase)")
     else:
         for i, c in enumerate(cols.tolist()):

@@ -87,3 +87,36 @@ def test_sharded_sumcheck_matches_host(mesh):
     exs.final_fold(r_prev_s)
     exd.final_fold(r_prev_d)
     assert exs.final_values() == exd.final_values()
+
+
+def test_commit_2d_mesh_bit_identical(mesh):
+    """2-D (rows × row-interior) mesh commit: same enc/layers/roots as 1-chip."""
+    import numpy as np
+
+    from zinc_tpu.parallel import local_mesh_2d
+    from zinc_tpu.parallel.zip import commit_device_sharded_2d
+    from zinc_tpu.transcript import KeccakTranscript as KT
+    from zinc_tpu.zip.code import DefaultLinearCodeSpec, RaaCode
+    from zinc_tpu.zip.device import commit_device
+    from zinc_tpu.zip.pcs import setup
+
+    rng = random.Random(5)
+    log_n = 8
+    n = 1 << log_n
+    cfg_q = draw_random_field([1, 2, 3], KT(), ZT.n_words, FIELD_LIMBS)
+    z_vals = [rng.randrange(-(1 << 62), 1 << 62) for _ in range(n)]
+
+    t = KT()
+    t.absorb(b"mesh2d")
+    code = RaaCode(DefaultLinearCodeSpec(), n, t, ZT)
+    pp = setup(n, code, ZT)
+
+    data_ref, comm_ref = commit_device(pp, z_vals, cfg_q)
+    mesh2d = local_mesh_2d(2, 4)
+    data_2d, comm_2d = commit_device_sharded_2d(pp, z_vals, cfg_q, mesh2d)
+
+    assert comm_2d.roots == comm_ref.roots
+    assert np.array_equal(data_2d.enc_limbs, data_ref.enc_limbs)
+    assert len(data_2d.layers) == len(data_ref.layers)
+    for a, b in zip(data_2d.layers, data_ref.layers):
+        assert np.array_equal(a, b)

@@ -18,8 +18,14 @@ Everything here produces bit-identical transcripts and proofs to the
 single-device backend — sharding is purely a layout choice.
 """
 
-from .mesh import local_mesh
+from .mesh import local_mesh, local_mesh_2d
 from .sumcheck import ShardedSumcheckExecutor
-from .zip import commit_device_sharded
+from .zip import commit_device_sharded, commit_device_sharded_2d
 
-__all__ = ["local_mesh", "ShardedSumcheckExecutor", "commit_device_sharded"]
+__all__ = [
+    "local_mesh",
+    "local_mesh_2d",
+    "ShardedSumcheckExecutor",
+    "commit_device_sharded",
+    "commit_device_sharded_2d",
+]

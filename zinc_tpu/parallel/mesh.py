@@ -27,6 +27,16 @@ def local_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def local_mesh_2d(rows: int, cols: int, axes: tuple[str, str] = ("r", "c")) -> Mesh:
+    """A 2-D (rows × cols) mesh: "r" shards the codeword-matrix row axis /
+    hypercube blocks, "c" shards each row's interior (SURVEY §7 stage 9).
+    On real hardware both axes map onto the ICI torus."""
+    devs = jax.devices()
+    if len(devs) < rows * cols:
+        raise ValueError(f"need {rows * cols} devices, have {len(devs)}")
+    return Mesh(np.array(devs[: rows * cols]).reshape(rows, cols), axes)
+
+
 def shard_on_axis(mesh: Mesh, arr, dim: int):
     """Place ``arr`` with dimension ``dim`` block-sharded over the mesh axis."""
     spec = [None] * arr.ndim

@@ -75,3 +75,23 @@ def test_geq_limbs():
     a = jnp.asarray(L.ints_to_limbs([5, 5, 6], 3))
     b = jnp.asarray(L.ints_to_limbs([6, 5, 5], 3))
     assert list(np.asarray(L.geq_limbs(a, b))) == [False, True, True]
+
+
+def test_find_naf_usefulness_and_correctness():
+    """Mirror of arithmetic.rs:403-434: 12 has NAF length 5, relaxed 4, and
+    both recodings sum back to the input for random 256-bit values."""
+    import random
+
+    from zinc_tpu.fields.limbs import find_naf, find_relaxed_naf
+
+    assert len(find_naf(12)) == 5
+    assert len(find_relaxed_naf(12)) == 4
+    rng = random.Random(9)
+    for _ in range(10):
+        num = rng.getrandbits(256)
+        for digits in (find_naf(num), find_relaxed_naf(num)):
+            assert all(d in (-1, 0, 1) for d in digits)
+            assert sum(d << i for i, d in enumerate(digits)) == num
+        # non-adjacency holds for the strict NAF
+        naf = find_naf(num)
+        assert all(not (naf[i] and naf[i + 1]) for i in range(len(naf) - 1))

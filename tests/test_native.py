@@ -62,3 +62,21 @@ def test_blake3_batch_and_merkle_fold(lib):
     path = [leaves[idx ^ 1], level1[(idx >> 1) ^ 1], level2[(idx >> 2) ^ 1]]
     folded = merkle_fold_batch(leaves[idx], b"".join(path), [idx], 3)
     assert folded == root
+
+
+def test_host_merkle_native_matches_fallback():
+    """from_leaves via the batched native tier == pure-Python layer build."""
+    import random
+    from unittest import mock
+
+    from zinc_tpu.zip.merkle import MerkleTree
+
+    rng = random.Random(1)
+    for depth, blen in ((4, 16), (6, 32), (5, 48)):
+        leaves = [bytes(rng.randrange(256) for _ in range(blen)) for _ in range(1 << depth)]
+        t_native = MerkleTree.from_leaves(depth, leaves)
+        with mock.patch("zinc_tpu.native.blake3_batch", lambda *a, **k: None):
+            t_py = MerkleTree.from_leaves(depth, leaves)
+        assert t_native.root == t_py.root
+        assert t_native.layers == t_py.layers
+        assert all(t_native.path(i) == t_py.path(i) for i in range(1 << depth))

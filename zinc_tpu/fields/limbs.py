@@ -297,3 +297,37 @@ def i64_to_limbs(values: np.ndarray, nlimbs: int) -> np.ndarray:
         else:
             out[:, j] = sign_fill
     return out
+
+
+# ---------------------------------------------------------------------------
+# NAF scalar recoding (host utility)
+# ---------------------------------------------------------------------------
+
+
+def find_naf(num: int) -> list[int]:
+    """Non-adjacent form of a nonnegative integer, little-endian digits in
+    {-1, 0, 1} (mirror of /root/reference/src/field/biginteger/arithmetic.rs:
+    146-199)."""
+    if num < 0:
+        raise ValueError("NAF input must be nonnegative")
+    res: list[int] = []
+    while num != 0:
+        if num & 1:
+            z = 2 - (num % 4)
+            num -= z
+        else:
+            z = 0
+        res.append(z)
+        num >>= 1
+    return res
+
+
+def find_relaxed_naf(num: int) -> list[int]:
+    """NAF with the top-of-sequence `0 -1 0 1` → `0 1 1` rewrite that saves
+    one doubling (/root/reference/src/field/biginteger/arithmetic.rs:201-229)."""
+    res = find_naf(num)
+    if len(res) >= 3 and res[-2] == 0 and res[-3] == -1:
+        res[-3] = 1
+        res[-2] = 1
+        res.pop()
+    return res

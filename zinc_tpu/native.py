@@ -84,6 +84,16 @@ def blake3_batch(messages: bytes, n: int, msg_len: int) -> bytes | None:
     return bytes(out)
 
 
+def blake3_merge_batch(pairs: bytes, n: int) -> bytes | None:
+    """n 64-byte digest pairs → n parent digests; None if native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = (ctypes.c_uint8 * (32 * n))()
+    lib.zn_blake3_merge_batch(pairs, n, out)
+    return bytes(out)
+
+
 def merkle_fold_batch(leaves: bytes, siblings: bytes, indices, depth: int) -> bytes | None:
     """Fold n Merkle paths to roots; None if native unavailable."""
     lib = get_lib()

@@ -38,16 +38,34 @@ class MerkleTree:
     @staticmethod
     def from_leaves(depth: int, leaf_bytes: list[bytes]) -> "MerkleTree":
         assert len(leaf_bytes) == 1 << depth
-        layers: list[bytes] = [blake3(b) for b in leaf_bytes]
-        offset = 0
-        width = 1 << depth
-        while width > 1:
-            level = layers[offset : offset + width]
-            layers.extend(
-                blake3(level[2 * i] + level[2 * i + 1]) for i in range(width // 2)
-            )
-            offset += width
-            width //= 2
+        n = 1 << depth
+        layers: list[bytes] | None = None
+        if n >= 16 and len({len(b) for b in leaf_bytes}) == 1:
+            # batched native tier (16-lane vectorized BLAKE3)
+            from ..native import blake3_batch, blake3_merge_batch
+
+            hashed = blake3_batch(b"".join(leaf_bytes), n, len(leaf_bytes[0]))
+            if hashed is not None:
+                layers = [hashed[32 * i : 32 * (i + 1)] for i in range(n)]
+                level_cat = hashed
+                width = n
+                while width > 1:
+                    level_cat = blake3_merge_batch(level_cat, width // 2)
+                    width //= 2
+                    layers.extend(
+                        level_cat[32 * i : 32 * (i + 1)] for i in range(width)
+                    )
+        if layers is None:  # pure-Python fallback
+            layers = [blake3(b) for b in leaf_bytes]
+            offset = 0
+            width = n
+            while width > 1:
+                level = layers[offset : offset + width]
+                layers.extend(
+                    blake3(level[2 * i] + level[2 * i + 1]) for i in range(width // 2)
+                )
+                offset += width
+                width //= 2
         root = layers.pop()
         return MerkleTree(root, depth, layers)
 

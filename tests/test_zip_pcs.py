@@ -182,6 +182,23 @@ def test_shuffle_determinism():
     assert sorted(p1.tolist()) == list(range(64))
 
 
+def test_shuffle_rand09_pinned_vectors():
+    """Pinned rand-0.9.2 ``StdRng`` shuffle schedule (docs/RAND_PARITY.md):
+    partial_shuffle forward walk + IncreasingUniform chunks + Canon's-method
+    bounded sampling.  Any change to the draw schedule breaks wire parity
+    with the reference and must fail here."""
+    assert permutation_from_seed(12345, 16).tolist() == [
+        4, 9, 7, 13, 3, 11, 5, 14, 1, 12, 6, 0, 10, 2, 15, 8]
+    assert permutation_from_seed(0, 16).tolist() == [
+        11, 6, 14, 10, 13, 8, 1, 9, 5, 7, 0, 12, 2, 15, 4, 3]
+    assert permutation_from_seed((1 << 64) - 1, 16).tolist() == [
+        0, 1, 9, 13, 7, 2, 4, 6, 14, 12, 8, 11, 10, 5, 3, 15]
+    assert permutation_from_seed(7, 8).tolist() == [0, 4, 7, 6, 5, 3, 1, 2]
+    # Canon's-method bounded draws straight off the ChaCha12 stream
+    r = ChaCha12.from_seed_u64(9)
+    assert [r.next_below(10) for _ in range(12)] == [0, 6, 8, 5, 3, 6, 1, 6, 7, 8, 9, 9]
+
+
 def test_chacha12_structure():
     # keystream must be deterministic per seed and differ across seeds
     a = ChaCha12.from_seed_u64(1)

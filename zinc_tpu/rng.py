@@ -1,16 +1,33 @@
-"""Seeded deterministic permutations for the RAA code.
+"""Seeded deterministic permutations for the RAA code — rand 0.9 compatible.
 
 The reference derives its two RAA permutations with
-``StdRng::seed_from_u64(seed)`` + Fisher-Yates (``shuffle_seeded``,
-/root/reference/src/zip/utils.rs:139-142).  ``StdRng`` is ChaCha12 seeded via
-SplitMix64; both are reproduced here exactly.  The Fisher-Yates *draw
-schedule* of the ``rand 0.9`` crate (its batched ``IncreasingUniform``
-sampler) is not reproducible from documentation alone and no Rust toolchain
-exists in this environment to pin it, so zinc-tpu pins its own draw schedule:
-a backward Durstenfeld walk with Lemire bounded sampling (widening multiply +
-threshold rejection).  The permutation is a deterministic pure function of
-the 64-bit transcript seed, shared by prover and verifier; its vectors are
-pinned in tests/test_rng.py.
+``StdRng::seed_from_u64(seed)`` + ``slice.shuffle`` (``shuffle_seeded``,
+/root/reference/src/zip/utils.rs:139-142; Cargo.toml pins ``rand = "0.9.2"``).
+``StdRng`` is ChaCha12 seeded via SplitMix64; both are reproduced here
+exactly.  The draw *schedule* reproduces rand 0.9's ``shuffle`` →
+``partial_shuffle`` chain bit-for-bit:
+
+- ``partial_shuffle(rng, len)`` (rand ``src/seq/slice.rs``) iterates
+  *forward* ``i ∈ m..len`` (full shuffle: ``m = 0``) swapping ``i`` with a
+  uniform index in ``0..=i`` — a growing-region Durstenfeld walk.
+- The indices come from ``IncreasingUniform`` (rand
+  ``src/seq/increasing_uniform.rs``): one ``u32`` draw in
+  ``[0, b·(b+1)·…·(b+r-1))`` — the maximal run of consecutive factors
+  starting at the current bound ``b`` whose product fits in ``u32`` — is
+  split into ``r`` successive indices by mod/div against the increasing
+  bounds.  Construction with ``n = 0`` sets ``chunk_remaining = 1`` so the
+  first index is 0 without consuming the stream.
+- Each chunk is drawn with ``Rng::random_range(..bound)`` →
+  ``UniformInt::<u32>::sample_single_inclusive(0, bound-1)`` (rand
+  ``src/distr/uniform_int.rs``, default features): Canon's method with a
+  Lemire-style early-out — one widening multiply ``v·range``; if the low
+  word exceeds ``range.wrapping_neg()`` a *second* ``u32`` is drawn and its
+  widened high word is added as a carry-correction.  Unbiased to 2^-32 and,
+  crucially, a deterministic word-consumption schedule.
+
+The full derivation (with a worked trace) is in docs/RAND_PARITY.md; vectors
+are pinned in tests/test_zip_pcs.py.  The permutation is a deterministic pure
+function of the 64-bit transcript seed, shared by prover and verifier.
 """
 
 from __future__ import annotations
@@ -92,24 +109,57 @@ class ChaCha12:
         return lo | (hi << 32)
 
     def next_below(self, n: int) -> int:
-        """Uniform in [0, n) — Lemire widening-multiply with rejection."""
-        assert 0 < n <= 1 << 32
-        threshold = ((1 << 32) - n) % n
-        while True:
-            x = self.next_u32()
-            m = x * n
-            if (m & _M32) >= threshold:
-                return m >> 32
+        """Uniform in [0, n) — rand 0.9's ``sample_single_inclusive(0, n-1)``:
+        Canon's method with Lemire early-out (``src/distr/uniform_int.rs``,
+        default features).  One widening multiply; with probability
+        ``(range-1)/2^32`` a second draw supplies a carry correction."""
+        assert 0 < n <= _M32
+        v = self.next_u32()
+        m = v * n
+        result, lo_order = m >> 32, m & _M32
+        if lo_order > ((1 << 32) - n) & _M32:
+            new_hi = (self.next_u32() * n) >> 32
+            if lo_order + new_hi > _M32:
+                result += 1
+        return result
+
+
+def _calculate_bound_u32(m: int) -> tuple[int, int]:
+    """rand's ``calculate_bound_u32``: the longest run of consecutive factors
+    ``m·(m+1)·…·(m+r-1)`` whose product fits in u32; returns (product, r)."""
+    assert m > 0
+    product, current = m, m + 1
+    while product * current < (1 << 32):
+        product *= current
+        current += 1
+    return product, current - m
 
 
 def permutation_from_seed(seed: int, length: int) -> np.ndarray:
-    """The pinned zinc-tpu seeded permutation σ: shuffled[k] = input[σ(k)].
+    """The seeded permutation σ with shuffled[k] = input[σ(k)], reproducing
+    ``StdRng::seed_from_u64(seed)`` + rand 0.9.2 ``slice.shuffle`` exactly.
 
-    Backward Durstenfeld Fisher-Yates over the identity using the
-    StdRng-compatible ChaCha12 stream."""
+    Applying rand's swap sequence to the identity yields precisely the gather
+    index array: after ``swap(i, j)`` steps, ``arr[k]`` is the origin of the
+    element a reference shuffle would place at position ``k``.
+
+    Schedule = ``partial_shuffle(rng, len)``: forward walk ``i ∈ 0..len``,
+    ``swap(i, IncreasingUniform::next_index())`` (see module docstring)."""
     rng = ChaCha12.from_seed_u64(seed)
     arr = np.arange(length, dtype=np.int64)
-    for i in range(length - 1, 0, -1):
-        j = rng.next_below(i + 1)
+    # IncreasingUniform::new(rng, m=0): n=0, chunk=0, chunk_remaining=1 (the
+    # first index is always 0 and consumes nothing from the stream).
+    n, chunk, chunk_remaining = 0, 0, 1
+    for i in range(length):
+        next_n = n + 1
+        if chunk_remaining == 0:
+            bound, remaining = _calculate_bound_u32(next_n)
+            chunk = rng.next_below(bound)
+            chunk_remaining = remaining - 1
+        else:
+            chunk_remaining -= 1
+        j = chunk % next_n if next_n > 1 else 0
+        chunk //= next_n
+        n = next_n
         arr[i], arr[j] = arr[j], arr[i]
     return arr

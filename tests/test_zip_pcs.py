@@ -258,3 +258,22 @@ def test_proof_size_formula():
         + row_len * CFG.nbytes
     )
     assert len(proof) == expected
+
+
+def test_commit_no_merkle_matches_commit_rows():
+    """commit_no_merkle = commit minus trees (commit.rs:104-119)."""
+    from zinc_tpu.poly.mle import DenseMleZ
+    from zinc_tpu.zip.pcs import commit, commit_no_merkle, setup
+
+    t = KeccakTranscript()
+    t.absorb(b"cnm")
+    n = 64
+    code = RaaCode(DefaultLinearCodeSpec(), n, t, ZT1)
+    pp = setup(n, code, ZT1)
+    rng = random.Random(5)
+    poly = DenseMleZ(6, [rng.randrange(-(1 << 40), 1 << 40) for _ in range(n)])
+    data_full, comm_full = commit(pp, poly)
+    data_nm, comm_nm = commit_no_merkle(pp, poly)
+    assert data_nm.rows == data_full.rows
+    assert data_nm.trees == [] and comm_nm.roots == []
+    assert comm_full.roots  # the full commit still produces roots

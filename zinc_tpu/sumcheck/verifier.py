@@ -6,9 +6,12 @@ check p(0) + p(1) = claim each round, and reduce the claim by Lagrange
 interpolation of the d+1 evaluation points at the round challenge.
 
 ``interpolate_uni_poly`` computes the same value as the reference's
-factorial-ratio implementation (the i64/i128/field regimes there are
-arithmetic optimizations of one formula); here it is a direct product-form
-Lagrange evaluation in the field.
+factorial-ratio implementation (/root/reference/src/sumcheck/verifier.rs:161-303
+— its i64/i128/field regimes are arithmetic optimizations of one formula).
+Python ints are arbitrary-precision, so all three regimes collapse into one:
+the denominators (−1)^(n−1−i)·i!·(n−1−i)! stay plain ints, and the per-term
+field divisions of the reference are replaced by one batch inversion
+(Montgomery's trick) — a single modular inversion per round instead of d+1.
 """
 
 from __future__ import annotations
@@ -32,28 +35,43 @@ class SubClaim:
 
 def interpolate_uni_poly(evals: list[Fp], x: Fp) -> Fp:
     """Evaluate at x the unique degree-(len−1) polynomial through
-    (i, evals[i]) for i = 0..len−1."""
+    (i, evals[i]) for i = 0..len−1.
+
+    p(x) = prod · Σᵢ evals[i] / (denomᵢ · (x−i)) with prod = Πⱼ (x−j) and
+    denomᵢ = (−1)^(n−1−i)·i!·(n−1−i)! = Π_{j≠i}(i−j).  The n divisors are
+    inverted together with one batch inversion.
+    """
     cfg = x.cfg
     n = len(evals)
-    points = [cfg.fp(i) for i in range(n)]
-    # early exit when x is one of the nodes (matches reference behavior and
-    # avoids division by zero)
-    for i, pi in enumerate(points):
-        if x == pi:
-            return evals[i]
-    # prod = Π_j (x - j)
-    diffs = [x - pi for pi in points]
+    # diffs + early exit when x is one of the nodes (matches reference
+    # behavior and avoids division by zero)
+    diffs = []
     prod = cfg.one()
-    for d in diffs:
-        prod = prod * d
-    res = cfg.zero()
     for i in range(n):
-        # denom_i = Π_{j≠i} (i - j)
-        denom = cfg.one()
-        for j in range(n):
-            if j != i:
-                denom = denom * cfg.fp(i - j)
-        res = res + evals[i] * prod / (denom * diffs[i])
+        d = x - cfg.fp(i)
+        if d.is_zero():
+            return evals[i]
+        diffs.append(d)
+        prod = prod * d
+    fact = [1] * n
+    for i in range(1, n):
+        fact[i] = fact[i - 1] * i
+    divisors = []
+    for i in range(n):
+        den = fact[i] * fact[n - 1 - i]
+        if (n - 1 - i) & 1:
+            den = -den
+        divisors.append(cfg.fp(den) * diffs[i])
+    # batch inversion: prefix products, one inversion, backward sweep
+    prefix = [cfg.one()]
+    for d in divisors:
+        prefix.append(prefix[-1] * d)
+    inv_run = prefix[-1].inverse()
+    res = cfg.zero()
+    for i in range(n - 1, -1, -1):
+        inv_i = inv_run * prefix[i]
+        inv_run = inv_run * divisors[i]
+        res = res + evals[i] * prod * inv_i
     return res
 
 

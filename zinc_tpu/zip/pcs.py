@@ -98,6 +98,17 @@ def commit(pp: ZipParams, poly: DenseMleZ) -> tuple[ZipCommitmentData, ZipCommit
     return ZipCommitmentData(rows, trees), ZipCommitment([t.root for t in trees])
 
 
+def commit_no_merkle(pp: ZipParams, poly: DenseMleZ) -> tuple[ZipCommitmentData, ZipCommitment]:
+    """Encode-only commit: rows but no trees/roots (benchmark isolation
+    variant, /root/reference/src/zip/pcs/commit.rs:104-119)."""
+    _validate("commit", pp, poly, [])
+    row_len = pp.code.row_len
+    rows: list[int] = []
+    for r in range(pp.num_rows):
+        rows.extend(pp.code.encode(poly.evaluations[r * row_len : (r + 1) * row_len]))
+    return ZipCommitmentData(rows, []), ZipCommitment([])
+
+
 def batch_commit(pp: ZipParams, polys: list[DenseMleZ]):
     return [commit(pp, p) for p in polys]
 

@@ -118,3 +118,29 @@ def test_device_open_proof_bytes_identical_and_verify():
     v = poly.map_to_field(CFG).evaluate(point)
     vt = PcsTranscript.from_proof(proof_dev)
     verify_poly(pp, comm_d, point, v, vt, CFG)
+
+
+def test_device_commit_ziplincode_matches_host():
+    """The dense-matmul ZipLinearCode device encoder reproduces the host
+    commit byte-for-byte (rows, trees, roots)."""
+    from zinc_tpu.transcript import KeccakTranscript
+    from zinc_tpu.zip.code import ZipLinearCode
+
+    num_vars = 6
+    n = 1 << num_vars
+    t = KeccakTranscript()
+    t.absorb(b"zlc-dev")
+    code = ZipLinearCode(DefaultLinearCodeSpec(), n, t, ZT1)
+    pp = setup(n, code, ZT1)
+    rng = random.Random(31)
+    vals = [rng.randrange(-(1 << 60), 1 << 60) for _ in range(n)]
+    data_h, comm_h = commit(pp, DenseMleZ(num_vars, vals))
+    data_d, comm_d = commit_device(pp, np.array(vals, np.int64), CFG)
+    assert comm_d.roots == comm_h.roots
+    # encoded limb rows must equal the host integers' two's-complement limbs
+    lk = data_d.enc_limbs.shape[-1]
+    mask = (1 << (16 * lk)) - 1
+    flat = data_d.enc_limbs.reshape(-1, lk).astype(np.uint64)
+    got = [int(sum(int(v) << (16 * j) for j, v in enumerate(row))) for row in flat]
+    want = [v & mask for v in data_h.rows]
+    assert got == want

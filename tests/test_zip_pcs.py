@@ -14,6 +14,7 @@ from zinc_tpu.zip.code import DefaultLinearCodeSpec, RaaCode, ZipLinearCode, Zip
 from zinc_tpu.zip.merkle import MerkleTree, int_to_leaf_bytes, verify_merkle_path
 from zinc_tpu.zip.pcs import (
     PcsError,
+    ZipCommitment,
     commit,
     open_poly,
     setup,
@@ -277,3 +278,46 @@ def test_commit_no_merkle_matches_commit_rows():
     assert data_nm.rows == data_full.rows
     assert data_nm.trees == [] and comm_nm.roots == []
     assert comm_full.roots  # the full commit still produces roots
+
+
+def make_zip_lincode_pcs(num_vars, rng):
+    """PCS instance over the original ZipLinearCode (code.rs:77-215)."""
+    poly_size = 1 << num_vars
+    t = KeccakTranscript()
+    t.absorb(b"zlc-pcs")
+    code = ZipLinearCode(DefaultLinearCodeSpec(), poly_size, t, ZT1)
+    pp = setup(poly_size, code, ZT1)
+    evaluations = [rng.randrange(-(1 << 30), 1 << 30) for _ in range(poly_size)]
+    return pp, DenseMleZ(num_vars, evaluations)
+
+
+def test_zip_lincode_pcs_roundtrip():
+    rng = random.Random(21)
+    pp, poly = make_zip_lincode_pcs(4, rng)
+    data, comm = commit(pp, poly)
+    point = rand_point(4, rng)
+    v = poly.map_to_field(CFG).evaluate(point)
+    pt = PcsTranscript()
+    open_poly(pp, poly, data, point, CFG, pt)
+    vt = PcsTranscript.from_proof(pt.into_proof())
+    verify_poly(pp, comm, point, v, vt, CFG)
+
+
+def test_zip_lincode_pcs_rejects_wrong_eval_and_tamper():
+    rng = random.Random(22)
+    pp, poly = make_zip_lincode_pcs(4, rng)
+    data, comm = commit(pp, poly)
+    point = rand_point(4, rng)
+    v = poly.map_to_field(CFG).evaluate(point)
+    pt = PcsTranscript()
+    open_poly(pp, poly, data, point, CFG, pt)
+    proof = pt.into_proof()
+    with pytest.raises(PcsError):
+        verify_poly(pp, comm, point, v + CFG.one(), PcsTranscript.from_proof(proof), CFG)
+    bad = bytearray(proof)
+    bad[5] ^= 0xFF
+    with pytest.raises(PcsError):
+        verify_poly(pp, comm, point, v, PcsTranscript.from_proof(bytes(bad)), CFG)
+    bad_root = ZipCommitment([b"\x00" * 32] * len(comm.roots))
+    with pytest.raises(PcsError):
+        verify_poly(pp, bad_root, point, v, PcsTranscript.from_proof(proof), CFG)

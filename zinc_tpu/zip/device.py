@@ -62,14 +62,53 @@ def _raa_encode_rows(z_limbs: jnp.ndarray, row_len: int, rep: int, lk: int, p1, 
     return vec
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _zlc_encode_rows(z_limbs: jnp.ndarray, mat: jnp.ndarray, lk: int):
+    """ZipLinearCode encoder: (R·row_len, Ln) limbs → (R, cw, Lk) rows.
+
+    codeword = [A·row ‖ B·row] (/root/reference/src/zip/code.rs:77-215) with
+    `mat` the stacked dense (cw, row_len) 0/1 matrix — the sampled "sparse"
+    matrices have density row_len/2, so on TPU the natural form is a dense
+    MXU matmul over 8-bit limb planes (partial sums ≤ 255·row_len < 2^24,
+    f32-exact), followed by one carry-wrap to two's-complement width K.
+    """
+    row_len = mat.shape[1]
+    r = z_limbs.shape[0] // row_len
+    rows = sign_extend(z_limbs, lk).reshape(r, row_len, lk)
+    # 8-bit planes of the two's-complement limbs: exact bf16/f32 operands
+    lo8 = (rows & 0xFF).astype(jnp.float32)
+    hi8 = (rows >> 8).astype(jnp.float32)
+    planes = jnp.concatenate([lo8, hi8], axis=-1)  # (R, row_len, 2Lk)
+    acc = jnp.einsum(
+        "cw,rwl->rcl", mat, planes,
+        preferred_element_type=jnp.float32, precision="highest",
+    ).astype(jnp.uint32)  # (R, cw, 2Lk) lazy 8-bit planes
+    lazy16 = acc[..., :lk] + (acc[..., lk:] << 8)  # (R, cw, Lk) lazy 16-bit cols
+    from ..fields.integers import _carry_limbs_lastaxis
+
+    return _carry_limbs_lastaxis(lazy16, lk)
+
+
+def _zlc_dense_matrix(code) -> np.ndarray:
+    """Stacked dense (cw, row_len) 0/1 f32 matrix for [A ‖ B]."""
+    cw, row_len = code.codeword_len(), code.row_len
+    m = np.zeros((cw, row_len), np.float32)
+    half = cw // 2
+    for r, cells in enumerate(code.a):
+        for col, coeff in cells:
+            m[r, col] = float(coeff)
+    for r, cells in enumerate(code.b):
+        for col, coeff in cells:
+            m[half + r, col] = float(coeff)
+    return m
+
+
 def commit_device(
     pp: ZipParams, z_values: np.ndarray | list, cfg: FieldConfig
 ) -> tuple[DeviceZipData, ZipCommitment]:
     """Device commit; byte-identical trees/roots to zip.pcs.commit."""
     row_len = pp.code.row_len
-    rep = pp.code.repetition_factor
     lk = 4 * pp.zt.k_words  # 16-bit limbs of width K
-    p1, p2 = pp.code.permutations()
 
     if isinstance(z_values, np.ndarray) and z_values.dtype == np.int64:
         z_limbs = jnp.asarray(i64_to_limbs(z_values, 4 * pp.zt.n_words))
@@ -77,9 +116,14 @@ def commit_device(
         z_limbs = jnp.asarray(ints_to_limbs(list(z_values), 4 * pp.zt.n_words))
     assert z_limbs.shape[0] == pp.num_rows * row_len
 
-    enc = _raa_encode_rows(
-        z_limbs, row_len, rep, lk, jnp.asarray(p1), jnp.asarray(p2)
-    )
+    if hasattr(pp.code, "permutations"):  # RAA
+        rep = pp.code.repetition_factor
+        p1, p2 = pp.code.permutations()
+        enc = _raa_encode_rows(
+            z_limbs, row_len, rep, lk, jnp.asarray(p1), jnp.asarray(p2)
+        )
+    else:  # ZipLinearCode
+        enc = _zlc_encode_rows(z_limbs, jnp.asarray(_zlc_dense_matrix(pp.code)), lk)
     layers_dev = merkle_tree_device(enc, pp.zt.k_words)
     # limbs are 16-bit values: download as u16 — halves the biggest transfer
     enc_np = np.asarray(enc.astype(jnp.uint16))

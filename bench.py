@@ -47,17 +47,18 @@ def _device_round_ms(cfg, n_mles: int, b: int, degree: int, idx_terms, iters: in
     coeffs_d = jax.device_put(coeffs)
 
     if _use_pallas(b):
-        # the production path: ONE fused fold+evaluate launch per round
-        # (sumcheck/pallas_exec.py), Spartan-shaped ±1 coefficients.
+        # the production path: ONE fused MXU fold+evaluate launch per round
+        # (sumcheck/mxu_exec.py — Toeplitz-matmul Montgomery fold + G-form
+        # coefficient evaluation), Spartan-shaped ±1 coefficients.
         # In production whole sumchecks run device-resident in a single
         # dispatch chain (sumcheck/device_fs.py), so the per-round cost is
         # the on-chip kernel latency — measure it by chaining K dependent
         # rounds (each consumes the previous round's donated buffer) and
         # differencing two chain lengths, which cancels the host↔device
         # sync floor (~33 ms over the axon tunnel) and the buffer copy.
-        from zinc_tpu.sumcheck.pallas_exec import TILE, _fold_eval_fixed
+        from zinc_tpu.sumcheck.mxu_exec import TILE, _fold_eval_mxu, term_meta
 
-        kinds = ("u", "n", "u")[: len(idx_terms)]
+        terms = term_meta(idx_terms)
         nb = b // (4 * TILE)
 
         import jax.numpy as jnp
@@ -65,12 +66,11 @@ def _device_round_ms(cfg, n_mles: int, b: int, degree: int, idx_terms, iters: in
         def chain_s(k: int) -> float:
             t0 = time.perf_counter()
             buf = tables_d + jnp.uint32(0)
-            wide = None
+            out = None
             for _ in range(k):
-                buf, wide = _fold_eval_fixed(
-                    ctx, buf, r_d, coeffs_d, degree, idx_terms, kinds, nb
-                )
-            np.asarray(wide)  # one fetch closes the whole chain
+                out = _fold_eval_mxu(ctx, buf, r_d, terms, nb)
+                buf = out[0]
+            np.asarray(out[1])  # one fetch closes the whole chain
             return time.perf_counter() - t0
 
         k_short, k_long = 1, 1 + 8

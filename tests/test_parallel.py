@@ -120,3 +120,20 @@ def test_commit_2d_mesh_bit_identical(mesh):
     assert len(data_2d.layers) == len(data_ref.layers)
     for a, b in zip(data_2d.layers, data_ref.layers):
         assert np.array_equal(a, b)
+
+
+def test_2d_mesh_full_prove_bit_identical_and_verifies(mesh):
+    """The COMPLETE prove on the ("r","c") production layout — sumcheck
+    sharded over both axes, 2-D distributed commit, sharded open — must be
+    byte-identical to the unsharded device prover (SURVEY §7 stage 9)."""
+    from zinc_tpu.parallel import local_mesh_2d
+    from zinc_tpu.serialize import serialize_proof
+
+    rng = random.Random(44)
+    _, ccs, statement, wit = dummy_ccs_of_size(1 << 6, rng, int_bits=62)
+    cfg_ref, proof_ref = _prove(None, statement, wit, ccs)
+    mesh2d = local_mesh_2d(2, 4)
+    cfg_2d, proof_2d = _prove(mesh2d, statement, wit, ccs)
+    assert cfg_ref.q == cfg_2d.q
+    assert serialize_proof(proof_2d, cfg_2d) == serialize_proof(proof_ref, cfg_ref)
+    ZincVerifier(ZT).verify(statement, proof_2d, KeccakTranscript(), ccs, cfg_2d)

@@ -116,7 +116,21 @@ def combine_rows_signed(
     eval_sign: jnp.ndarray,  # (R, C) int32 ±1
     out_limbs16: int,
 ) -> jnp.ndarray:
-    """Σᵣ coeffᵣ·evalᵣ,c → (C, out_limbs16) two's-complement 16-bit limbs.
+    """Σᵣ coeffᵣ·evalᵣ,c → (C, out_limbs16) two's-complement 16-bit limbs."""
+    acc = combine_rows_acc(coeff_mag8, coeff_sign, eval_mag8, eval_sign, out_limbs16)
+    return combine_acc_to_limbs(acc)
+
+
+def combine_rows_acc(
+    coeff_mag8: jnp.ndarray,
+    coeff_sign: jnp.ndarray,
+    eval_mag8: jnp.ndarray,
+    eval_sign: jnp.ndarray,
+    out_limbs16: int,
+) -> jnp.ndarray:
+    """The signed 8-bit-column accumulator of Σᵣ coeffᵣ·evalᵣ,c — an i32
+    (C, 2·out_limbs16) grid that is LINEAR in the row set, so shards may
+    compute it locally and psum before ``combine_acc_to_limbs``.
 
     Exactness: per-chunk f32 contraction bounded by 32·255² < 2^21 per limb
     pair; anti-diagonal fold and cross-chunk accumulation in int32.
@@ -153,7 +167,11 @@ def combine_rows_signed(
             preferred_element_type=jnp.float32, precision="highest",
         )  # (C, n8), |cols| ≤ 8·2^21 = 2^24 — f32-exact
         acc = acc + cols.astype(jnp.int32)
+    return acc
 
+
+def combine_acc_to_limbs(acc: jnp.ndarray) -> jnp.ndarray:
+    """i32 8-bit-column accumulator (C, 2L16) → two's-complement 16-bit limbs."""
     # signed carry sweep over 8-bit positions → two's-complement 8-bit limbs
     x = jnp.moveaxis(acc, -1, 0)
 

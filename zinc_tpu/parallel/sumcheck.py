@@ -33,24 +33,26 @@ from ..sumcheck.device import DeviceSumcheckExecutor, _final_fold, _round_body
 
 @lru_cache(maxsize=64)
 def _sharded_round_fn(mesh: Mesh, ctx: DeviceField, first: bool, degree: int, idx_terms: tuple):
-    axis = mesh.axis_names[0]
+    # the hypercube axis is sharded over ALL mesh axes (works for 1-D and
+    # 2-D production meshes alike; psum closes over every axis)
+    axes = tuple(mesh.axis_names)
 
     def local_round(tables, r, coeffs):
         new_tables, wide = _round_body(ctx, tables, (r, coeffs), first, degree, idx_terms)
-        return new_tables, jax.lax.psum(wide, axis)
+        return new_tables, jax.lax.psum(wide, axes)
 
     fn = jax.shard_map(
         local_round,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(None), P(None, None)),
-        out_specs=(P(None, axis, None), P(None, None)),
+        in_specs=(P(None, axes, None), P(None), P(None, None)),
+        out_specs=(P(None, axes, None), P(None, None)),
     )
     return jax.jit(fn)
 
 
 @lru_cache(maxsize=32)
 def _sharded_fold_fn(mesh: Mesh, ctx: DeviceField):
-    axis = mesh.axis_names[0]
+    axes = tuple(mesh.axis_names)
 
     def local_fold(tables, r):
         return _final_fold(ctx, tables, r)
@@ -58,8 +60,8 @@ def _sharded_fold_fn(mesh: Mesh, ctx: DeviceField):
     fn = jax.shard_map(
         local_fold,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(None)),
-        out_specs=P(None, axis, None),
+        in_specs=(P(None, axes, None), P(None)),
+        out_specs=P(None, axes, None),
     )
     return jax.jit(fn)
 
@@ -81,10 +83,10 @@ class ShardedSumcheckExecutor:
         self.idx_terms = tuple(tuple(idxs) for _, idxs in comb)
         self._comb = comb
         d = mesh.size
-        axis = mesh.axis_names[0]
+        axes = tuple(mesh.axis_names)
         if tables.shape[1] % d == 0 and tables.shape[1] >= 2 * d:
             self.tables = jax.device_put(
-                tables, NamedSharding(mesh, P(None, axis, None))
+                tables, NamedSharding(mesh, P(None, axes, None))
             )
             self._inner: DeviceSumcheckExecutor | None = None
         else:

@@ -210,3 +210,137 @@ def commit_device_sharded_2d(
     layers = [np.asarray(l) for l in sub_layers] + [np.asarray(l) for l in top_layers]
     roots = [layers[-1][r, 0].astype("<u4").tobytes() for r in range(num_rows)]
     return DeviceZipData(enc_np, layers, roots), ZipCommitment(roots)
+
+
+# ---------------------------------------------------------------------------
+# sharded open: proximity combine + evaluation combine over the row axis
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=32)
+def _sharded_prox_fn(mesh: Mesh, out_l16: int):
+    """Row-sharded proximity matvec: local signed-magnitude MXU accumulation
+    (linear in the row set), psum over the row axis, one replicated carry
+    sweep (mirrors open_z.rs's row fold, distributed)."""
+    from ..fields.integers import combine_acc_to_limbs, combine_rows_acc
+
+    ax_r = mesh.axis_names[0]
+
+    def local(c_mag, c_sign, e_mag, e_sign):
+        acc = combine_rows_acc(c_mag, c_sign, e_mag, e_sign, out_l16)
+        return combine_acc_to_limbs(jax.lax.psum(acc, ax_r))
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(ax_r, None), P(ax_r), P(ax_r, None, None), P(ax_r, None)),
+            out_specs=P(None, None),
+        )
+    )
+
+
+@lru_cache(maxsize=32)
+def _sharded_eval_fn(mesh: Mesh, ctx):
+    """Row-sharded q₀ᵀ·Z: local Montgomery products + exact lazy row sums,
+    psum over the row axis, replicated sweep + reduction mod q."""
+    from ..fields.limbs import carry_sweep
+    from ..fields.montgomery import lazy_sum, mod_reduce_wide, mont_mul
+
+    ax_r = mesh.axis_names[0]
+
+    def local(q0, e_f):
+        prod = mont_mul(ctx, q0[:, None, :], e_f)  # (R_local, C, L)
+        part = lazy_sum(ctx, prod, axis=0)  # (C, Lw) canonical
+        total = jax.lax.psum(part, ax_r)  # lazy: lanes ≤ (2^16−1)·D < 2^32
+        total = carry_sweep(total, part.shape[-1] + 1)
+        return mod_reduce_wide(ctx, total)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(ax_r, None), P(ax_r, None, None)),
+            out_specs=P(None, None),
+        )
+    )
+
+
+def open_device_sharded(
+    pp: ZipParams,
+    z_values,
+    z_f,
+    data: DeviceZipData,
+    point: list,
+    cfg: FieldConfig,
+    transcript,
+    mesh: Mesh,
+) -> None:
+    """Mesh-sharded open; proof bytes identical to zip.device.open_device
+    (and hence to the host oracle).  The heavy phases — proximity matvec and
+    the q₀ᵀ·Z field combine — run sharded over the row axis; the column
+    records are assembled host-side from the committed layer data."""
+    from ..fields.integers import i64_to_mag8, ints_to_mag8
+    from ..fields.montgomery import device_field
+    from ..poly.device import build_eq_table_device
+    from ..zip.device import (
+        _write_limb_ints,
+        open_device,
+        write_column_records,
+        write_eval_row,
+    )
+
+    num_rows = pp.num_rows
+    r_size = mesh.shape[mesh.axis_names[0]]
+    if num_rows <= 1 or num_rows % r_size != 0:
+        return open_device(pp, z_values, z_f, data, point, cfg, transcript)
+
+    row_len = pp.code.row_len
+    codeword_len = pp.code.codeword_len()
+    ctx = device_field(cfg)
+    ax_r = mesh.axis_names[0]
+
+    # ---- proximity rows ----------------------------------------------------
+    if isinstance(z_values, np.ndarray) and z_values.dtype == np.int64:
+        e_mag8, e_sign = i64_to_mag8(z_values)
+    else:
+        e_mag8, e_sign = ints_to_mag8(list(z_values), 8 * pp.zt.n_words)
+    e_mag8 = jax.device_put(
+        e_mag8.reshape(num_rows, row_len, -1), NamedSharding(mesh, P(ax_r, None, None))
+    )
+    e_sign = jax.device_put(
+        e_sign.reshape(num_rows, row_len), NamedSharding(mesh, P(ax_r, None))
+    )
+    prox_fn = _sharded_prox_fn(mesh, 4 * pp.zt.m_words)
+    for _ in range(pp.code.num_proximity_testing()):
+        coeffs = transcript.fs.get_integer_challenges(num_rows, pp.zt.n_words)
+        c_mag8, c_sign = ints_to_mag8(coeffs, 8 * pp.zt.n_words)
+        c_mag8 = jax.device_put(c_mag8, NamedSharding(mesh, P(ax_r, None)))
+        c_sign = jax.device_put(c_sign, NamedSharding(mesh, P(ax_r)))
+        combined = prox_fn(c_mag8, c_sign, e_mag8, e_sign)
+        _write_limb_ints(transcript, np.asarray(combined))
+
+    # ---- column openings ---------------------------------------------------
+    depth = (codeword_len - 1).bit_length() if codeword_len > 1 else 0
+    n_open = pp.code.num_column_opening()
+    cols = np.array(
+        [transcript.squeeze_challenge_idx(cfg, codeword_len) for _ in range(n_open)]
+    )
+    write_column_records(data, cols, depth, num_rows, transcript)
+
+    # ---- evaluation phase --------------------------------------------------
+    log_rows = num_rows.bit_length() - 1
+    lo = point[len(point) - log_rows :]
+    if lo:
+        q0 = jax.device_put(
+            np.asarray(build_eq_table_device(cfg, lo)),
+            NamedSharding(mesh, P(ax_r, None)),
+        )
+        e_f = jax.device_put(
+            np.asarray(z_f).reshape(num_rows, row_len, -1),
+            NamedSharding(mesh, P(ax_r, None, None)),
+        )
+        combined_f = _sharded_eval_fn(mesh, ctx)(q0, e_f)
+    else:
+        combined_f = z_f
+    write_eval_row(cfg, np.asarray(combined_f), transcript)

@@ -137,7 +137,11 @@ class ZincProver:
         else:
             z_vals = z_ccs
         with timed("prove.zip_commit"):
-            if self.mesh is not None:
+            if self.mesh is not None and len(self.mesh.axis_names) >= 2:
+                from .parallel.zip import commit_device_sharded_2d
+
+                data, z_comm = commit_device_sharded_2d(pp, z_vals, cfg, self.mesh)
+            elif self.mesh is not None:
                 from .parallel.zip import commit_device_sharded
 
                 data, z_comm = commit_device_sharded(pp, z_vals, cfg, self.mesh)
@@ -145,7 +149,14 @@ class ZincProver:
                 data, z_comm = commit_device(pp, z_vals, cfg)
         with timed("prove.zip_open"):
             pcs_transcript = PcsTranscript()
-            open_device(pp, z_vals, z_f, data, r_y, cfg, pcs_transcript)
+            if self.mesh is not None:
+                from .parallel.zip import open_device_sharded
+
+                open_device_sharded(
+                    pp, z_vals, z_f, data, r_y, cfg, pcs_transcript, self.mesh
+                )
+            else:
+                open_device(pp, z_vals, z_f, data, r_y, cfg, pcs_transcript)
         zip_proof = ZipProof(z_comm=z_comm, v=v, pcs_proof=pcs_transcript.into_proof())
         return ZincProof(spartan_proof=spartan_proof, zip_proof=zip_proof)
 

@@ -42,11 +42,32 @@ from .transcript import PcsTranscript
 
 @dataclass
 class DeviceZipData:
-    """Prover-side commitment data, downloaded for proof assembly."""
+    """Prover-side commitment data.
 
-    enc_limbs: np.ndarray  # (R, cw, Lk) uint16 two's-complement limbs
-    layers: list  # list[np.ndarray (R, n_level, 8) uint32], leaves first
+    `enc` / `layer_arrays` may be DEVICE arrays (commit_device defers the
+    bulk download: open_device gathers the opened columns and leaf siblings
+    on device and fetches only proof-sized slices plus the small upper
+    levels) or host numpy arrays (sharded commit paths, tests).  The
+    `enc_limbs` / `layers` properties force a full host copy for callers
+    that need one (identity tests)."""
+
+    enc: object  # (R, cw, Lk) u16/u32 limbs — jnp or np
+    layer_arrays: list  # list[(R, n_level, 8) uint32], leaves first — jnp or np
     roots: list  # list[bytes]
+
+    @property
+    def enc_limbs(self) -> np.ndarray:
+        if not isinstance(self.enc, np.ndarray):
+            self.enc = np.asarray(self.enc.astype(jnp.uint16))
+        return self.enc
+
+    @property
+    def layers(self) -> list:
+        self.layer_arrays = [
+            l if isinstance(l, np.ndarray) else np.asarray(l)
+            for l in self.layer_arrays
+        ]
+        return self.layer_arrays
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
@@ -125,11 +146,11 @@ def commit_device(
     else:  # ZipLinearCode
         enc = _zlc_encode_rows(z_limbs, jnp.asarray(_zlc_dense_matrix(pp.code)), lk)
     layers_dev = merkle_tree_device(enc, pp.zt.k_words)
-    # limbs are 16-bit values: download as u16 — halves the biggest transfer
-    enc_np = np.asarray(enc.astype(jnp.uint16))
-    layers = [np.asarray(l) for l in layers_dev]
-    roots = [layers[-1][r, 0].astype("<u4").tobytes() for r in range(enc_np.shape[0])]
-    return DeviceZipData(enc_np, layers, roots), ZipCommitment(roots)
+    # download ONLY the roots now (32 B/row); the codeword and layers stay
+    # device-resident until open_device slices out the proof-sized pieces
+    top = np.asarray(layers_dev[-1][:, 0, :])
+    roots = [top[r].astype("<u4").tobytes() for r in range(top.shape[0])]
+    return DeviceZipData(enc, list(layers_dev), roots), ZipCommitment(roots)
 
 
 def _write_limb_ints(transcript: PcsTranscript, arr: np.ndarray) -> None:
@@ -193,26 +214,7 @@ def open_device(
     cols = np.array(
         [transcript.squeeze_challenge_idx(cfg, codeword_len) for _ in range(n_open)]
     )
-    lk = data.enc_limbs.shape[-1]
-    val_bytes = 2 * lk * num_rows
-    rec_bytes = val_bytes + num_rows * (8 + depth * 32)
-    records = np.empty((n_open, rec_bytes), dtype=np.uint8)
-    vals = np.ascontiguousarray(np.transpose(data.enc_limbs[:, cols, :], (1, 0, 2)))
-    records[:, :val_bytes] = (
-        vals.astype("<u2").view(np.uint8).reshape(n_open, val_bytes)
-    )
-    paths = records[:, val_bytes:].reshape(n_open, num_rows, 8 + depth * 32)
-    paths[:, :, :8] = np.frombuffer(depth.to_bytes(8, "big"), np.uint8)
-    idx = cols.copy()
-    for lvl in range(depth):
-        sib = np.ascontiguousarray(
-            np.transpose(data.layers[lvl][:, idx ^ 1, :], (1, 0, 2))
-        )  # (n_open, R, 8) u32
-        paths[:, :, 8 + lvl * 32 : 8 + (lvl + 1) * 32] = (
-            sib.astype("<u4").view(np.uint8).reshape(n_open, num_rows, 32)
-        )
-        idx >>= 1
-    transcript._write(records.tobytes())
+    write_column_records(data, cols, depth, num_rows, transcript)
 
     # ---- evaluation phase ---------------------------------------------------
     log_rows = num_rows.bit_length() - 1
@@ -225,7 +227,59 @@ def open_device(
         combined_f = mod_reduce_wide(ctx, wide)  # (C, L)
     else:
         combined_f = z_f
-    elems = _field_row_bytes(cfg, np.asarray(combined_f))
+    write_eval_row(cfg, np.asarray(combined_f), transcript)
+
+
+def write_column_records(
+    data: DeviceZipData, cols: np.ndarray, depth: int, num_rows: int, transcript: PcsTranscript
+) -> None:
+    """Assemble and write the per-column opening records (values + paths)."""
+    n_open = cols.shape[0]
+    lk = data.enc.shape[-1]
+    val_bytes = 2 * lk * num_rows
+    rec_bytes = val_bytes + num_rows * (8 + depth * 32)
+    records = np.empty((n_open, rec_bytes), dtype=np.uint8)
+    if isinstance(data.enc, np.ndarray):
+        vals = np.ascontiguousarray(np.transpose(data.enc_limbs[:, cols, :], (1, 0, 2)))
+        sib0 = None
+        layer_nps = data.layers
+    else:
+        # device-resident commit: gather the opened columns and the leaf-level
+        # siblings on device (proof-sized), download the (much smaller) upper
+        # levels whole.  Both gathers are dispatched before any fetch blocks.
+        cols_d = jnp.asarray(cols)
+        vals_d = jnp.transpose(data.enc[:, cols_d, :], (1, 0, 2)).astype(jnp.uint16)
+        sib0_d = (
+            jnp.transpose(data.layer_arrays[0][:, cols_d ^ 1, :], (1, 0, 2))
+            if depth > 0
+            else None
+        )
+        vals = np.asarray(vals_d)
+        sib0 = np.asarray(sib0_d) if sib0_d is not None else None
+        layer_nps = [None] + [np.asarray(l) for l in data.layer_arrays[1:]]
+    records[:, :val_bytes] = (
+        vals.astype("<u2").view(np.uint8).reshape(n_open, val_bytes)
+    )
+    paths = records[:, val_bytes:].reshape(n_open, num_rows, 8 + depth * 32)
+    paths[:, :, :8] = np.frombuffer(depth.to_bytes(8, "big"), np.uint8)
+    idx = cols.copy()
+    for lvl in range(depth):
+        if lvl == 0 and sib0 is not None:
+            sib = sib0  # (n_open, R, 8) u32, gathered on device
+        else:
+            sib = np.ascontiguousarray(
+                np.transpose(layer_nps[lvl][:, idx ^ 1, :], (1, 0, 2))
+            )  # (n_open, R, 8) u32
+        paths[:, :, 8 + lvl * 32 : 8 + (lvl + 1) * 32] = (
+            sib.astype("<u4").view(np.uint8).reshape(n_open, num_rows, 32)
+        )
+        idx >>= 1
+    transcript._write(records.tobytes())
+
+
+def write_eval_row(cfg: FieldConfig, combined_f: np.ndarray, transcript: PcsTranscript) -> None:
+    """Absorb + write the evaluation-phase combined field row."""
+    elems = _field_row_bytes(cfg, combined_f)
     for eb in elems:
         # absorb exactly like write_field_element (modulus framing + value)
         transcript.fs.h.update(b"\x03")

@@ -56,21 +56,25 @@ def _device_round_ms(cfg, n_mles: int, b: int, degree: int, idx_terms, iters: in
         # rounds (each consumes the previous round's donated buffer) and
         # differencing two chain lengths, which cancels the host↔device
         # sync floor (~33 ms over the axon tunnel) and the buffer copy.
-        from zinc_tpu.sumcheck.mxu_exec import TILE, _fold_eval_mxu, term_meta
+        from zinc_tpu.sumcheck.mxu_exec import TILE, _eval_lm, _fold_lm, term_meta
 
         terms = term_meta(idx_terms)
-        nb = b // (4 * TILE)
+        nbh = b // (4 * TILE)
 
         import jax.numpy as jnp
 
+        # bit-reversed limb-major buffer (the production layout; see
+        # sumcheck/mxu_exec.py) — lane values are random either way
+        tables_lm = jax.device_put(np.transpose(tables, (0, 2, 1)).copy())
+
         def chain_s(k: int) -> float:
             t0 = time.perf_counter()
-            buf = tables_d + jnp.uint32(0)
-            out = None
+            buf = tables_lm + jnp.uint32(0)
+            gs = None
             for _ in range(k):
-                out = _fold_eval_mxu(ctx, buf, r_d, terms, nb)
-                buf = out[0]
-            np.asarray(out[1])  # one fetch closes the whole chain
+                buf = _fold_lm(ctx, buf, r_d, nbh)
+                gs = _eval_lm(ctx, buf, terms, nbh)
+            np.asarray(gs[0])  # one fetch closes the whole chain
             return time.perf_counter() - t0
 
         k_short, k_long = 1, 1 + 8

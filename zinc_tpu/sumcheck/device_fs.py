@@ -102,6 +102,16 @@ def _sumcheck_fs_kernel(
     unrolled round) — the CPU-testable oracle of this whole program.
     """
     from .device import _round_body
+    from .mxu_exec import (
+        TILE as MTILE,
+        _eval_lm,
+        _fold_lm,
+        _from_lm,
+        _to_lm,
+        g_to_evals_device,
+        mxu_supported,
+        term_meta,
+    )
 
     l = buf.shape[2]
     lanes, sbuf = sponge_state
@@ -110,25 +120,41 @@ def _sumcheck_fs_kernel(
     r2 = jnp.asarray(ctx.r2)
 
     active = buf.shape[1]
+    use_mxu = use_pallas and mxu_supported(idx_terms, l)
+    terms = term_meta(idx_terms) if use_mxu else None
+    buf_lm = _to_lm(buf, active) if use_mxu and active >= 2 * MTILE else None
     evals_out = []
     rs_out = []
     r = jnp.zeros(l, jnp.uint32)
     for rnd in range(n_dev_rounds):
-        if use_pallas:
-            if rnd == 0:
-                wide = _eval_fixed(
-                    ctx, buf, coeffs, degree, idx_terms, kinds, active // (2 * TILE)
-                )
-            else:
-                buf, wide = _fold_eval_fixed(
-                    ctx, buf, r, coeffs, degree, idx_terms, kinds, active // (4 * TILE)
-                )
+        if buf_lm is not None and rnd > 0 and active < 4 * MTILE:
+            # MXU tier exhausted: hand the small remainder to the VPU tier
+            buf = _from_lm(buf_lm, active)
+            buf_lm = None
+        if buf_lm is not None:
+            # MXU tier: transpose-free bit-reversed limb-major round
+            if rnd > 0:
+                buf_lm = _fold_lm(ctx, buf_lm, r, active // (4 * MTILE))
                 active //= 2
+            gs = _eval_lm(ctx, buf_lm, terms, active // (2 * MTILE))
+            evals = g_to_evals_device(ctx, gs, coeffs, terms, degree)
         else:
-            buf, wide = _round_body(
-                ctx, buf, (r, coeffs), rnd == 0, degree, idx_terms
-            )
-        evals = mod_reduce_wide(ctx, wide)  # (P, L) Montgomery residues
+            if use_pallas:
+                if rnd == 0:
+                    wide = _eval_fixed(
+                        ctx, buf, coeffs, degree, idx_terms, kinds, active // (2 * TILE)
+                    )
+                else:
+                    buf, wide = _fold_eval_fixed(
+                        ctx, buf, r, coeffs, degree, idx_terms, kinds,
+                        active // (4 * TILE),
+                    )
+                    active //= 2
+            else:
+                buf, wide = _round_body(
+                    ctx, buf, (r, coeffs), rnd == 0, degree, idx_terms
+                )
+            evals = mod_reduce_wide(ctx, wide)  # (P, L) Montgomery residues
         evals_out.append(evals)
         # absorb the evaluations
         frames = [_field_frame(cfg, evals[p]) for p in range(evals.shape[0])]
@@ -144,6 +170,9 @@ def _sumcheck_fs_kernel(
         rs_out.append(r)
         # absorb the challenge
         sp = sp.absorb(_field_frame(cfg, r))
+
+    if buf_lm is not None:
+        buf = _from_lm(buf_lm, active)
 
     return (
         buf,

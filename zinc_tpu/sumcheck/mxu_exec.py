@@ -236,163 +236,11 @@ def _nt_dot_chunked(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return acc  # ≤ (W/256)·2^24
 
 
-def _eval_terms_mxu(kctx, pairs, terms, l):
-    """Per-term G byte planes for one block of TILE pairs.
-
-    pairs: (n_mles, T, 2, l).  Returns per term a (2·npj, 3, 2l, prow) i32
-    stack: e-side byte rows × P-side byte rows, G split into three 8-bit
-    planes (plane 2 may exceed 255 after chunk summing — the decode only
-    needs exact i32 planes, not bytes) for overflow-free accumulation
-    across blocks.
-    """
-    v0c, v1c, dc, s8c = {}, {}, {}, {}
-
-    def vv(i):
-        if i not in v0c:
-            v0c[i] = pairs[i, :, 0, :].T  # (l, T)
-            v1c[i] = pairs[i, :, 1, :].T
-        return v0c[i], v1c[i]
-
-    def dd(i):
-        if i not in dc:
-            a, b = vv(i)
-            dc[i] = _mont_sub_T(kctx, b, a)
-        return dc[i]
-
-    def s8(key, arr):
-        if key not in s8c:
-            s8c[key] = _bf16(_split8_B(arr))
-        return s8c[key]
-
-    outs = []
-    for e_idx, rest, npj, prow in terms:
-        e0, e1 = vv(e_idx)
-        e_sides = [s8(("v0", e_idx), e0), s8(("d", e_idx), dd(e_idx))]
-        if len(rest) == 1:
-            y0, y1 = vv(rest[0])
-            p_sides = [s8(("v0", rest[0]), y0), s8(("v1", rest[0]), y1)]
-        else:
-            x0, x1 = vv(rest[0])
-            y0, y1 = vv(rest[1])
-            p_sides = [
-                _bf16(_bytes3_B(_mul_columns_T(x0, y0))),
-                _bf16(_bytes3_B(_mul_columns_T(x1, y1))),
-                _bf16(_bytes3_B(_mul_columns_T(dd(rest[0]), dd(rest[1])))),
-            ]
-        g_list = []
-        for ea in e_sides:
-            for pb in p_sides:
-                gi = _nt_dot_chunked(ea, pb)  # (2l, prow) ≤ 4·2^24
-                g_list.append(jnp.stack([gi & 0xFF, (gi >> 8) & 0xFF, gi >> 16]))
-        outs.append(jnp.stack(g_list))  # (2·npj, 3, 2l, prow)
-    return outs
-
-
 def _g_out_shapes(terms, l: int):
     return tuple(
         jax.ShapeDtypeStruct((2 * npj, 3, 2 * l, prow), jnp.int32)
         for _, _, npj, prow in terms
     )
-
-
-def _g_out_specs(terms, l: int):
-    return tuple(
-        pl.BlockSpec((2 * npj, 3, 2 * l, prow), lambda i: (0, 0, 0, 0),
-                     memory_space=pltpu.VMEM)
-        for _, _, npj, prow in terms
-    )
-
-
-@partial(jax.jit, static_argnums=(0, 2))
-def _eval_mxu(ctx: DeviceField, buf: jnp.ndarray, terms, nb):
-    """Round-0 evaluation over the active prefix (nb blocks of 2·TILE)."""
-    n_mles, b_max, l = buf.shape
-
-    def kernel(*refs):
-        kctx = _unpack_ctx(refs[:5], ctx)
-        t_ref = refs[5]
-        g_refs = refs[6:]
-        pairs = t_ref[:].reshape(n_mles, TILE, 2, l)
-        gs = _eval_terms_mxu(kctx, pairs, terms, l)
-
-        @pl.when(pl.program_id(0) == 0)
-        def _():
-            for gr in g_refs:
-                gr[:] = jnp.zeros(gr.shape, jnp.int32)
-
-        for gr, g in zip(g_refs, gs):
-            gr[:] = gr[:] + g
-
-    return pl.pallas_call(
-        kernel,
-        out_shape=_g_out_shapes(terms, l),
-        in_specs=_const_specs(l) + [
-            pl.BlockSpec((n_mles, 2 * TILE, l), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=_g_out_specs(terms, l),
-        grid=(nb,),
-    )(*_ctx_consts(ctx), buf)
-
-
-@partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
-def _fold_eval_mxu(ctx: DeviceField, buf: jnp.ndarray, r: jnp.ndarray, terms, nb):
-    """Fused round: MXU fold of the active prefix (in place, all mles
-    flattened into one wide batch) + G-form eval of the folded pairs — one
-    launch per round (nb blocks of 4·TILE entries per mle)."""
-    n_mles, b_max, l = buf.shape
-    tmt_np, tqt_np = _static_toeplitz(ctx)
-    tmt, tqt = jnp.asarray(tmt_np), jnp.asarray(tqt_np)
-    trt = _r_toeplitz(r, l)
-
-    def kernel(*refs):
-        kctx = _unpack_ctx(refs[:5], ctx)
-        t_ref, trt_ref, tmt_ref, tqt_ref = refs[5], refs[6], refs[7], refs[8]
-        o_ref = refs[9]
-        g_refs = refs[10:]
-        blk = t_ref[:]  # (n_mles, 4T, l)
-        # flatten all mles into one wide batch: pairs stay within each mle
-        fp = blk.reshape(n_mles * 2 * TILE, 2, l)
-        v0 = fp[:, 0, :].T  # (l, n·2T)
-        v1 = fp[:, 1, :].T
-        d = _mont_sub_T(kctx, v1, v0)
-        f = _mont_add_T(
-            kctx, v0,
-            _scalar_mont_mul_mxu(kctx, d, trt_ref[:], tmt_ref[:], tqt_ref[:]),
-        )  # (l, n·2T)
-        f_rows = f.T  # (n·2T, l)
-        o_ref[:] = f_rows.reshape(n_mles, 2 * TILE, l)
-
-        pairs = f_rows.reshape(n_mles, TILE, 2, l)
-        gs = _eval_terms_mxu(kctx, pairs, terms, l)
-
-        @pl.when(pl.program_id(0) == 0)
-        def _():
-            for gr in g_refs:
-                gr[:] = jnp.zeros(gr.shape, jnp.int32)
-
-        for gr, g in zip(g_refs, gs):
-            gr[:] = gr[:] + g
-
-    return pl.pallas_call(
-        kernel,
-        out_shape=(jax.ShapeDtypeStruct((n_mles, b_max, l), jnp.uint32),)
-        + _g_out_shapes(terms, l),
-        in_specs=_const_specs(l) + [
-            pl.BlockSpec((n_mles, 4 * TILE, l), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(trt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tmt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tqt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((n_mles, 2 * TILE, l), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        )
-        + _g_out_specs(terms, l),
-        grid=(nb,),
-        input_output_aliases={5: 0},
-    )(*_ctx_consts(ctx), buf, trt, tmt, tqt)
 
 
 # ---------------------------------------------------------------------------
@@ -475,13 +323,26 @@ class MxuSumcheckExecutor:
             "u" if c == one else ("n" if c == -one else "g") for c, _ in comb
         )
         self.vtile = VTILE
-        self.buf = jnp.asarray(tables)
-        self.active = tables.shape[1]
+        b = tables.shape[1]
+        if b >= 2 * TILE:
+            self.buf_lm = _to_lm(jnp.asarray(tables), b)
+            self.buf = None
+        else:
+            self.buf_lm = None
+            self.buf = jnp.asarray(tables)
+        self.active = b
         self._host_mles = None
+
+    def _leave_lm(self) -> None:
+        """Bit-un-reverse + transpose the small remainder for the VPU tier."""
+        if self.buf_lm is not None:
+            self.buf = _from_lm(self.buf_lm, self.active)
+            self.buf_lm = None
 
     def _demote_to_host(self) -> None:
         from ..poly.device import limbs_to_fp
 
+        self._leave_lm()
         arr = np.asarray(self.buf[:, : self.active, :])
         self._host_mles = [
             [limbs_to_fp(arr[i, b], self.cfg) for b in range(self.active)]
@@ -502,9 +363,9 @@ class MxuSumcheckExecutor:
         if self._host_mles is not None:
             return self._host_round(r_prev, fold_done=False)
         if r_prev is None:
-            if self.active >= 2 * TILE:
-                gs = _eval_mxu(self.ctx, self.buf, self.terms,
-                               self.active // (2 * TILE))
+            if self.buf_lm is not None:
+                gs = _eval_lm(self.ctx, self.buf_lm, self.terms,
+                              self.active // (2 * TILE))
                 return g_to_evals_host(self.cfg, gs, self.comb, self.terms,
                                        self.degree)
             if self.active >= 2 * self.vtile:
@@ -516,13 +377,15 @@ class MxuSumcheckExecutor:
             self._demote_to_host()
             return self._host_round(None, fold_done=True)
         r = jnp.asarray(fps_to_limbs([r_prev], self.cfg)[0])
-        if self.active >= 4 * TILE:
-            out = _fold_eval_mxu(self.ctx, self.buf, r, self.terms,
-                                 self.active // (4 * TILE))
-            self.buf = out[0]
+        if self.buf_lm is not None and self.active >= 4 * TILE:
+            self.buf_lm = _fold_lm(self.ctx, self.buf_lm, r,
+                                   self.active // (4 * TILE))
             self.active //= 2
-            return g_to_evals_host(self.cfg, out[1:], self.comb, self.terms,
+            gs = _eval_lm(self.ctx, self.buf_lm, self.terms,
+                          self.active // (2 * TILE))
+            return g_to_evals_host(self.cfg, gs, self.comb, self.terms,
                                    self.degree)
+        self._leave_lm()
         if self.active >= 4 * self.vtile:
             self.buf, wide = _fold_eval_fixed(
                 self.ctx, self.buf, r, self.coeffs, self.degree,
@@ -552,6 +415,7 @@ class MxuSumcheckExecutor:
             return self._host_mles
         from .pallas_exec import _fold_fixed
 
+        self._leave_lm()
         rl = jnp.asarray(fps_to_limbs([r], self.cfg)[0])
         self.buf = _fold_fixed(self.ctx, self.buf, rl, self.active // (2 * self.vtile))
         self.active //= 2
@@ -563,5 +427,306 @@ class MxuSumcheckExecutor:
         if self._host_mles is not None:
             assert all(len(m) == 1 for m in self._host_mles)
             return [m[0] for m in self._host_mles]
+        self._leave_lm()
         arr = np.asarray(self.buf[:, :1, :])
         return [limbs_to_fp(arr[i, 0], self.cfg) for i in range(arr.shape[0])]
+
+
+# ---------------------------------------------------------------------------
+# v2: bit-reversed limb-major buffer — transpose-free round kernels
+# ---------------------------------------------------------------------------
+#
+# Measurement: the fused v1 kernel spends ~half its time on per-block
+# (W, l) ↔ (l, W) relayouts.  v2 stores the tables LIMB-MAJOR (n_mles, l, B)
+# in BIT-REVERSED lane order: binding the storage-MSB of a bit-reversed
+# table is identical to binding the logical LSB (the host oracle's pairing
+# of adjacent entries 2i/2i+1), and the invariant re-establishes itself
+# after every fold — the classic DIT/DIF identity.  Fold pairs are then
+# (first half, second half): two contiguous lane views of the same buffer
+# (the dynamic half offset rides in as a scalar-prefetch argument), so the
+# kernels never transpose.  Claims are sums over all pairs — lane order
+# cannot affect them — and fold VALUES are identical, so transcripts stay
+# byte-identical; only the executor's demote/final paths un-reverse.
+
+
+def _const_specs_s(l: int):
+    """Field-constant specs whose index maps accept the scalar-prefetch arg."""
+    return [
+        pl.BlockSpec((l,), lambda i, s: (0,)),
+        pl.BlockSpec((l,), lambda i, s: (0,)),
+        pl.BlockSpec((l,), lambda i, s: (0,)),
+        pl.BlockSpec((l,), lambda i, s: (0,)),
+        pl.BlockSpec((l + 1,), lambda i, s: (0,)),
+    ]
+
+
+@lru_cache(maxsize=16)
+def _bitrev(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.int64)
+    rev = np.zeros_like(idx)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _to_lm(tables: jnp.ndarray, b: int) -> jnp.ndarray:
+    """(n_mles, B, l) batch-major → (n_mles, l, B) limb-major bit-reversed."""
+    t = jnp.transpose(tables, (0, 2, 1))
+    return jnp.take(t, jnp.asarray(_bitrev(b)), axis=2)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _from_lm(buf: jnp.ndarray, active: int) -> jnp.ndarray:
+    """Active prefix of the limb-major bit-reversed buffer → batch-major."""
+    t = jnp.take(buf[:, :, :active], jnp.asarray(_bitrev(active)), axis=2)
+    return jnp.transpose(t, (0, 2, 1))
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _fold_lm(ctx: DeviceField, buf: jnp.ndarray, r: jnp.ndarray, nbh):
+    """In-place MXU fold: lanes [0, act/2) ← v0 + r·(v1 − v0) where v0/v1
+    are the two halves of the active prefix.  nbh = (act/2)//(2·TILE) is
+    both the grid size and the (scalar-prefetched) block offset of the
+    second half."""
+    n_mles, l, b_max = buf.shape
+    w = 2 * TILE
+    tmt_np, tqt_np = _static_toeplitz(ctx)
+    tmt, tqt = jnp.asarray(tmt_np), jnp.asarray(tqt_np)
+    trt = _r_toeplitz(r, l)
+
+    def kernel(s_ref, *refs):
+        kctx = _unpack_ctx(refs[:5], ctx)
+        a_ref, b_ref = refs[5], refs[6]
+        trt_r, tmt_r, tqt_r = refs[7], refs[8], refs[9]
+        o_ref = refs[10]
+        for i in range(n_mles):
+            v0 = a_ref[i]
+            v1 = b_ref[i]
+            d = _mont_sub_T(kctx, v1, v0)
+            o_ref[i] = _mont_add_T(
+                kctx, v0,
+                _scalar_mont_mul_mxu(kctx, d, trt_r[:], tmt_r[:], tqt_r[:]),
+            )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbh,),
+        in_specs=_const_specs_s(l) + [
+            pl.BlockSpec((n_mles, l, w), lambda i, s: (0, 0, i)),
+            pl.BlockSpec((n_mles, l, w), lambda i, s: (0, 0, i + s[0])),
+            pl.BlockSpec(trt.shape, lambda i, s: (0, 0)),
+            pl.BlockSpec(tmt.shape, lambda i, s: (0, 0)),
+            pl.BlockSpec(tqt.shape, lambda i, s: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((n_mles, l, w), lambda i, s: (0, 0, i)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_mles, l, b_max), jnp.uint32),
+        input_output_aliases={6: 0},
+    )(jnp.asarray([nbh], jnp.int32), *_ctx_consts(ctx), buf, buf, trt, tmt, tqt)
+
+
+def _g_out_specs_s(terms, l: int):
+    return tuple(
+        pl.BlockSpec((2 * npj, 3, 2 * l, prow), lambda i, s: (0, 0, 0, 0))
+        for _, _, npj, prow in terms
+    )
+
+
+def _eval_terms_lm(kctx, a_ref, b_ref, terms, l):
+    """G byte planes for one block: v0/v1 are direct (l, T) limb-major views."""
+    v0c, v1c, dc, s8c = {}, {}, {}, {}
+
+    def vv(i):
+        if i not in v0c:
+            v0c[i] = a_ref[i]
+            v1c[i] = b_ref[i]
+        return v0c[i], v1c[i]
+
+    def dd(i):
+        if i not in dc:
+            a, b = vv(i)
+            dc[i] = _mont_sub_T(kctx, b, a)
+        return dc[i]
+
+    def s8(key, arr):
+        if key not in s8c:
+            s8c[key] = _bf16(_split8_B(arr))
+        return s8c[key]
+
+    outs = []
+    for e_idx, rest, npj, prow in terms:
+        e0, _ = vv(e_idx)
+        e_sides = [s8(("v0", e_idx), e0), s8(("d", e_idx), dd(e_idx))]
+        if len(rest) == 1:
+            y0, y1 = vv(rest[0])
+            p_sides = [s8(("v0", rest[0]), y0), s8(("v1", rest[0]), y1)]
+        else:
+            x0, x1 = vv(rest[0])
+            y0, y1 = vv(rest[1])
+            p_sides = [
+                _bf16(_bytes3_B(_mul_columns_T(x0, y0))),
+                _bf16(_bytes3_B(_mul_columns_T(x1, y1))),
+                _bf16(_bytes3_B(_mul_columns_T(dd(rest[0]), dd(rest[1])))),
+            ]
+        g_list = []
+        for ea in e_sides:
+            for pb in p_sides:
+                gi = _nt_dot_chunked(ea, pb)
+                g_list.append(jnp.stack([gi & 0xFF, (gi >> 8) & 0xFF, gi >> 16]))
+        outs.append(jnp.stack(g_list))
+    return outs
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _eval_lm(ctx: DeviceField, buf: jnp.ndarray, terms, nbh):
+    """Evaluation over the active prefix: pairs = (first half, second half)
+    of the active lanes; nbh = half_lanes//TILE is grid size AND offset."""
+    n_mles, l, b_max = buf.shape
+
+    def kernel(s_ref, *refs):
+        kctx = _unpack_ctx(refs[:5], ctx)
+        a_ref, b_ref = refs[5], refs[6]
+        g_refs = refs[7:]
+        gs = _eval_terms_lm(kctx, a_ref[:], b_ref[:], terms, l)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for gr in g_refs:
+                gr[:] = jnp.zeros(gr.shape, jnp.int32)
+
+        for gr, g in zip(g_refs, gs):
+            gr[:] = gr[:] + g
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbh,),
+        in_specs=_const_specs_s(l) + [
+            pl.BlockSpec((n_mles, l, TILE), lambda i, s: (0, 0, i)),
+            pl.BlockSpec((n_mles, l, TILE), lambda i, s: (0, 0, i + s[0])),
+        ],
+        out_specs=_g_out_specs_s(terms, l),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=_g_out_shapes(terms, l),
+    )(jnp.asarray([nbh], jnp.int32), *_ctx_consts(ctx), buf, buf)
+
+
+# ---------------------------------------------------------------------------
+# device-side G decode (for the device-resident Fiat-Shamir loop)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=16)
+def _onehot_positions_np(npj: int, prow: int, l: int) -> tuple:
+    """(M, npos): one-hot f32 matrix folding the flattened (2l·prow) G grid
+    onto 8-bit positions s = e_pos[i] + p_pos[r]."""
+    e_pos = _pos_split8(l)
+    p_pos = _p_positions(npj, prow, l)
+    flat = (e_pos[:, None] + p_pos[None, :]).ravel()
+    npos = int(flat.max()) + 1
+    m = np.zeros((flat.shape[0], npos), np.float32)
+    m[np.arange(flat.shape[0]), flat] = 1.0
+    return m, npos
+
+
+@lru_cache(maxsize=64)
+def _w_mont_np(q: int, n16: int, npj: int, degree: int) -> np.ndarray:
+    """Montgomery-form limb constants of the point weights w[t,a,j] mod q."""
+    from ..fields.limbs import int_to_limbs
+
+    radix = 1 << (16 * n16)
+    w = _point_weights(npj, degree)
+    out = np.zeros((degree + 1, 2, npj, n16), np.uint32)
+    for t in range(degree + 1):
+        for a in range(2):
+            for j in range(npj):
+                out[t, a, j] = int_to_limbs((int(w[t, a, j]) * radix) % q, n16)
+    return out
+
+
+def _bytes_scan(vals: jnp.ndarray) -> jnp.ndarray:
+    """(..., P) u32 position values → canonical bytes (..., P+4)."""
+    x = jnp.concatenate([vals, jnp.zeros(vals.shape[:-1] + (4,), jnp.uint32)], axis=-1)
+    x = jnp.moveaxis(x, -1, 0)
+
+    def body(carry, col):
+        v = carry + col
+        return v >> 8, v & 0xFF
+
+    _, out = jax.lax.scan(body, jnp.zeros_like(x[0]), x)
+    return jnp.moveaxis(out, 0, -1)
+
+
+def g_to_evals_device(ctx: DeviceField, g_arrays, comb_coeff_limbs, terms, degree: int):
+    """Exact on-device decode: per-term G byte planes → (degree+1, L) evals
+    in Montgomery form — the device-FS twin of ``g_to_evals_host``."""
+    from ..fields.montgomery import mod_reduce_wide, mont_add, mont_mul
+
+    l = ctx.n16
+    onev = jnp.zeros((l,), jnp.uint32).at[0].set(1)
+    r2 = jnp.asarray(ctx.r2)
+    evals = None
+    for term_i, ((e_idx, rest, npj, prow), g) in enumerate(zip(terms, g_arrays)):
+        m_np, npos = _onehot_positions_np(npj, prow, l)
+        m = jnp.asarray(m_np)
+        flat = g.reshape(2 * npj, 3, 2 * l * prow).astype(jnp.int32)
+        # 12-bit split keeps every f32 contraction exact (≤ 64·2^12 < 2^24)
+        lo = (flat & 0xFFF).astype(jnp.float32)
+        hi = (flat >> 12).astype(jnp.float32)
+        s_pl = (
+            jnp.einsum("kpm,mn->kpn", lo, m, precision="highest").astype(jnp.uint32)
+            + (jnp.einsum("kpm,mn->kpn", hi, m, precision="highest").astype(jnp.uint32) << 12)
+        )  # (2npj, 3, npos) ≤ 2^25
+        by = _bytes_scan(s_pl)  # canonical bytes per plane, (2npj, 3, npos+4)
+        padded = jnp.concatenate(
+            [by, jnp.zeros((2 * npj, 3, 2), jnp.uint32)], axis=-1
+        )
+        lazy = (
+            padded[:, 0, :]
+            + jnp.roll(padded[:, 1, :], 1, axis=-1)
+            + jnp.roll(padded[:, 2, :], 2, axis=-1)
+        )  # byte plane pl sits one position higher per plane; rolls are safe
+        #   because the 2 appended zero positions absorb the wrap
+        by2 = _bytes_scan(lazy)  # (2npj, npos+10) canonical bytes
+        wpos = by2.shape[-1]
+        if wpos & 1:
+            by2 = jnp.concatenate([by2, jnp.zeros((2 * npj, 1), jnp.uint32)], axis=-1)
+            wpos += 1
+        limbs = by2[:, 0::2] + (by2[:, 1::2] << 8)  # (2npj, W16) canonical
+        # chunk-Horner mod q: G = Σ chunk_j·R^j, h ← h·R + chunk (×R via r2)
+        w16 = limbs.shape[-1]
+        nch = (w16 + l - 1) // l
+        if nch * l != w16:
+            limbs = jnp.concatenate(
+                [limbs, jnp.zeros((2 * npj, nch * l - w16), jnp.uint32)], axis=-1
+            )
+        chunks = [
+            mod_reduce_wide(ctx, limbs[:, j * l : (j + 1) * l]) for j in range(nch)
+        ]
+        h = chunks[-1]
+        for j in range(nch - 2, -1, -1):
+            h = mont_add(ctx, mont_mul(ctx, h, r2), chunks[j])  # (2npj, l), G mod q
+        # point weights + scale + coefficient
+        w_limbs = jnp.asarray(_w_mont_np(ctx.modulus, l, npj, degree))
+        k_scale = len(rest) + 1
+        coeff = comb_coeff_limbs[term_i]
+        term_evals = []
+        for t in range(degree + 1):
+            acc = None
+            for a in range(2):
+                for j in range(npj):
+                    part = mont_mul(ctx, w_limbs[t, a, j], h[a * npj + j])
+                    acc = part if acc is None else mont_add(ctx, acc, part)
+            for _ in range(k_scale - 1):
+                acc = mont_mul(ctx, acc, onev)  # ÷R → S_term(t)·R
+            term_evals.append(mont_mul(ctx, coeff, acc))
+        stacked = jnp.stack(term_evals)  # (P, l)
+        evals = stacked if evals is None else jax.vmap(lambda a, b: mont_add(ctx, a, b))(evals, stacked)
+    return evals

@@ -66,3 +66,228 @@ def test_pallas_mont_mul_matches_xla():
     assert np.array_equal(
         np.asarray(mont_mul_pallas_t(ctx, a, b, 128)), np.asarray(mont_mul(ctx, a, b))
     )
+
+
+def _cfg_ctx():
+    from zinc_tpu.fields.config import FieldConfig
+    from zinc_tpu.fields.montgomery import device_field
+
+    cfg = FieldConfig((1 << 255) + 95, 4)
+    return cfg, device_field(cfg)
+
+
+def _rand_tables(cfg, n_mles, b, seed):
+    import jax.numpy as jnp
+
+    from zinc_tpu.poly.device import fps_to_limbs
+
+    pr = random.Random(seed)
+    mles = [[cfg.fp(pr.randrange(cfg.q)) for _ in range(b)] for _ in range(n_mles)]
+    tabs = jnp.asarray(
+        np.stack([np.asarray(fps_to_limbs(m, cfg)) for m in mles])
+    )
+    return mles, tabs
+
+
+@requires_tpu
+def test_vpu_fixed_buffer_fused_round_matches_round_body():
+    import jax.numpy as jnp
+
+    from zinc_tpu.fields.limbs import limbs_to_int
+    from zinc_tpu.poly.device import fps_to_limbs
+    from zinc_tpu.sumcheck.device import _round_body
+    from zinc_tpu.sumcheck.pallas_exec import TILE, _fold_eval_fixed
+
+    cfg, ctx = _cfg_ctx()
+    pr = random.Random(11)
+    degree, idx_terms, kinds = 3, ((0, 3), (1, 3), (2, 3)), ("u", "n", "u")
+    _, tabs = _rand_tables(cfg, 4, 4 * TILE, 12)
+    coeffs = jnp.asarray(fps_to_limbs([cfg.one(), -cfg.one(), cfg.one()], cfg))
+    r = jnp.asarray(fps_to_limbs([cfg.fp(pr.randrange(cfg.q))], cfg)[0])
+
+    ref_folded, _ = _round_body(ctx, tabs, (r, coeffs), False, degree, idx_terms)
+    _, ref_wide = _round_body(ctx, ref_folded, (r, coeffs), True, degree, idx_terms)
+    buf, wide = _fold_eval_fixed(
+        ctx, tabs + jnp.uint32(0), r, coeffs, degree, idx_terms, kinds, 1
+    )
+    half = tabs.shape[1] // 2
+    assert np.array_equal(np.asarray(buf[:, :half]), np.asarray(ref_folded))
+    for p in range(degree + 1):
+        assert (
+            limbs_to_int(np.asarray(wide)[p]) % cfg.q
+            == limbs_to_int(np.asarray(ref_wide)[p]) % cfg.q
+        )
+
+
+@requires_tpu
+def test_mxu_fold_matches_vpu_fold():
+    import jax.numpy as jnp
+
+    from zinc_tpu.poly.device import fps_to_limbs
+    from zinc_tpu.sumcheck.device import _round_body
+    from zinc_tpu.sumcheck.mxu_exec import TILE as MT, _fold_lm, _from_lm, _to_lm
+
+    cfg, ctx = _cfg_ctx()
+    pr = random.Random(13)
+    b = 8 * MT
+    _, tabs = _rand_tables(cfg, 4, b, 14)
+    r = jnp.asarray(fps_to_limbs([cfg.fp(pr.randrange(cfg.q))], cfg)[0])
+    coeffs = jnp.asarray(fps_to_limbs([cfg.one()], cfg))
+    ref_folded, _ = _round_body(ctx, tabs, (r, coeffs), False, 1, ((0,),))
+
+    buf_lm = _to_lm(tabs, b)
+    buf_lm = _fold_lm(ctx, buf_lm, r, b // (4 * MT))
+    got = _from_lm(buf_lm, b // 2)
+    assert np.array_equal(np.asarray(got), np.asarray(ref_folded))
+
+
+@requires_tpu
+def test_mxu_eval_g_decode_matches_host_round_evals():
+    from zinc_tpu.sumcheck.mxu_exec import (
+        TILE as MT,
+        _eval_lm,
+        _to_lm,
+        g_to_evals_host,
+        term_meta,
+    )
+    from zinc_tpu.sumcheck.prover import _round_evals
+
+    cfg, ctx = _cfg_ctx()
+    b = 4 * MT
+    mles, tabs = _rand_tables(cfg, 4, b, 15)
+    comb = [(cfg.one(), (0, 1, 3)), (-cfg.one(), (2, 3))]
+    terms = term_meta(tuple(t for _, t in comb))
+    gs = _eval_lm(ctx, _to_lm(tabs, b), terms, b // (2 * MT))
+    got = g_to_evals_host(cfg, gs, comb, terms, 3)
+    want = _round_evals(mles, 3, comb, cfg)
+    assert got == want
+
+
+@requires_tpu
+def test_mxu_g_decode_device_matches_host():
+    import jax.numpy as jnp
+
+    from zinc_tpu.poly.device import fps_to_limbs, limbs_to_fp
+    from zinc_tpu.sumcheck.mxu_exec import (
+        TILE as MT,
+        _eval_lm,
+        _to_lm,
+        g_to_evals_device,
+        g_to_evals_host,
+        term_meta,
+    )
+
+    cfg, ctx = _cfg_ctx()
+    b = 4 * MT
+    _, tabs = _rand_tables(cfg, 4, b, 16)
+    comb = [(cfg.one(), (0, 1, 3)), (-cfg.one(), (2, 3))]
+    terms = term_meta(tuple(t for _, t in comb))
+    gs = _eval_lm(ctx, _to_lm(tabs, b), terms, b // (2 * MT))
+    host = g_to_evals_host(cfg, gs, comb, terms, 3)
+    coeff_limbs = jnp.asarray(fps_to_limbs([c for c, _ in comb], cfg))
+    dev = np.asarray(jax.jit(g_to_evals_device, static_argnums=(0, 3, 4))(
+        ctx, tuple(gs), coeff_limbs, terms, 3
+    ))
+    got = [limbs_to_fp(dev[t], cfg) for t in range(4)]
+    assert got == host
+
+
+@requires_tpu
+def test_mxu_executor_sumcheck_identical_to_host():
+    from zinc_tpu.poly.mle import DenseMleF
+    from zinc_tpu.sumcheck.device import prove_as_subprotocol_device
+    from zinc_tpu.sumcheck.mxu_exec import MxuSumcheckExecutor
+    from zinc_tpu.sumcheck.prover import prove_as_subprotocol
+    from zinc_tpu.transcript import KeccakTranscript
+
+    cfg, _ = _cfg_ctx()
+    nv = 13
+    mles, tabs = _rand_tables(cfg, 4, 1 << nv, 0)
+    comb = [(cfg.one(), (0, 1, 3)), (-cfg.one(), (2, 3))]
+    ph, _ = prove_as_subprotocol(
+        KeccakTranscript(), [DenseMleF(nv, list(m), cfg) for m in mles],
+        nv, 3, comb, cfg,
+    )
+    ex = MxuSumcheckExecutor(cfg, tabs, 3, comb)
+    pd, _ = prove_as_subprotocol_device(KeccakTranscript(), ex, nv, 3, cfg)
+    assert ph == pd
+
+
+@requires_tpu
+def test_mxu_executor_degree2_identical_to_host():
+    from zinc_tpu.poly.mle import DenseMleF
+    from zinc_tpu.sumcheck.device import prove_as_subprotocol_device
+    from zinc_tpu.sumcheck.mxu_exec import MxuSumcheckExecutor
+    from zinc_tpu.sumcheck.prover import prove_as_subprotocol
+    from zinc_tpu.transcript import KeccakTranscript
+
+    cfg, _ = _cfg_ctx()
+    nv = 11
+    mles, tabs = _rand_tables(cfg, 2, 1 << nv, 4)
+    comb = [(cfg.one(), (0, 1))]
+    ph, _ = prove_as_subprotocol(
+        KeccakTranscript(), [DenseMleF(nv, list(m), cfg) for m in mles],
+        nv, 2, comb, cfg,
+    )
+    ex = MxuSumcheckExecutor(cfg, tabs, 2, comb)
+    pd, _ = prove_as_subprotocol_device(KeccakTranscript(), ex, nv, 2, cfg)
+    assert ph == pd
+
+
+@requires_tpu
+def test_device_fs_mxu_transcript_identical_to_host():
+    from zinc_tpu.poly.mle import DenseMleF
+    from zinc_tpu.sumcheck.device_fs import prove_as_subprotocol_device_fs
+    from zinc_tpu.sumcheck.prover import prove_as_subprotocol
+    from zinc_tpu.transcript import KeccakTranscript
+
+    cfg, _ = _cfg_ctx()
+    nv = 13
+    mles, tabs = _rand_tables(cfg, 4, 1 << nv, 5)
+    comb = [(cfg.one(), (0, 1, 3)), (-cfg.one(), (2, 3))]
+    t1 = KeccakTranscript(); t1.absorb(b"fs")
+    ph, _ = prove_as_subprotocol(
+        t1, [DenseMleF(nv, list(m), cfg) for m in mles], nv, 3, comb, cfg,
+    )
+    t2 = KeccakTranscript(); t2.absorb(b"fs")
+    pd, _, _ = prove_as_subprotocol_device_fs(t2, cfg, tabs, nv, 3, comb)
+    assert ph == pd
+    assert t1.get_challenge(cfg) == t2.get_challenge(cfg)
+
+
+@requires_tpu
+def test_pallas_executor_sumcheck_identical_to_host():
+    from zinc_tpu.poly.mle import DenseMleF
+    from zinc_tpu.sumcheck.device import prove_as_subprotocol_device
+    from zinc_tpu.sumcheck.pallas_exec import PallasSumcheckExecutor
+    from zinc_tpu.sumcheck.prover import prove_as_subprotocol
+    from zinc_tpu.transcript import KeccakTranscript
+
+    cfg, _ = _cfg_ctx()
+    nv = 11
+    mles, tabs = _rand_tables(cfg, 4, 1 << nv, 6)
+    comb = [(cfg.one(), (0, 3)), (-cfg.one(), (1, 3)), (cfg.one(), (2, 3))]
+    ph, _ = prove_as_subprotocol(
+        KeccakTranscript(), [DenseMleF(nv, list(m), cfg) for m in mles],
+        nv, 3, comb, cfg,
+    )
+    ex = PallasSumcheckExecutor(cfg, tabs, 3, comb)
+    pd, _ = prove_as_subprotocol_device(KeccakTranscript(), ex, nv, 3, cfg)
+    assert ph == pd
+
+
+@requires_tpu
+def test_blake3_merkle_on_chip_matches_host():
+    import jax.numpy as jnp
+
+    from zinc_tpu.fields.limbs import ints_to_limbs
+    from zinc_tpu.ops.blake3_kernel import merkle_tree_device
+    from zinc_tpu.zip.merkle import MerkleTree, int_to_leaf_bytes
+
+    pr = random.Random(17)
+    vals = [pr.randrange(-(1 << 120), 1 << 120) for _ in range(64)]
+    enc = jnp.asarray(ints_to_limbs(vals, 8)).reshape(1, 64, 8)
+    layers = merkle_tree_device(enc, 2)
+    root = np.asarray(layers[-1][0, 0]).astype("<u4").tobytes()
+    tree = MerkleTree.from_leaves(6, [int_to_leaf_bytes(v, 2) for v in vals])
+    assert root == tree.root

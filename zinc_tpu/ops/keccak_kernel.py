@@ -165,3 +165,49 @@ class DeviceSponge:
         lanes = self.lanes.at[:17].set(self.lanes[:17] ^ bytes_to_lanes(block))
         lanes = keccak_f1600_device(lanes)
         return lanes_to_bytes(lanes[:4])
+
+
+# ---------------------------------------------------------------------------
+# dynamic-position sponge ops (for rolled Fiat-Shamir loops)
+# ---------------------------------------------------------------------------
+#
+# The class above resolves block boundaries at TRACE time (static pos) —
+# perfect for unrolled programs, but an unrolled 2^20 sumcheck FS program
+# costs tens of minutes of tracing per process.  These functional twins take
+# the fill level as a TRACED i32 so one lax.fori_loop round body serves
+# every round: absorbs process a static upper bound of blocks and select
+# the permuted state only for fully-filled blocks.  Byte semantics are
+# identical to DeviceSponge (pinned by the device-FS oracle tests).
+
+
+def absorb_dyn(lanes: jnp.ndarray, buf: jnp.ndarray, pos: jnp.ndarray, data: jnp.ndarray):
+    """Absorb a (n,) u8 array (static n) at traced fill level pos.
+
+    Returns (lanes, buf, pos).  buf holds the residual bytes at [0, pos);
+    bytes beyond pos are unspecified (never read)."""
+    n = data.shape[0]
+    nmax = (n + RATE - 1) // RATE + 1  # the last may straddle via the prefix
+    work = jnp.zeros((nmax * RATE + RATE,), jnp.uint8)
+    work = jax.lax.dynamic_update_slice(work, buf, (jnp.zeros((), jnp.int32),))
+    work = jax.lax.dynamic_update_slice(work, data, (pos.astype(jnp.int32),))
+    total = pos.astype(jnp.int32) + n
+    for k in range(nmax):
+        blk = jax.lax.dynamic_slice(work, (jnp.int32(k * RATE),), (RATE,))
+        permuted = keccak_f1600_device(
+            lanes.at[:17].set(lanes[:17] ^ bytes_to_lanes(blk))
+        )
+        full = (k + 1) * RATE <= total
+        lanes = jnp.where(full, permuted, lanes)
+    rem = total % RATE
+    buf = jax.lax.dynamic_slice(work, (total - rem,), (RATE,))
+    return lanes, buf, rem
+
+
+def digest_dyn(lanes: jnp.ndarray, buf: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """(32,) u8 digest at traced fill level pos (state untouched)."""
+    idx = jnp.arange(RATE, dtype=jnp.int32)
+    block = jnp.where(idx < pos, buf, jnp.uint8(0))
+    block = block ^ jnp.where(idx == pos, jnp.uint8(0x01), jnp.uint8(0))
+    block = block.at[RATE - 1].set(block[RATE - 1] ^ jnp.uint8(0x80))
+    lanes2 = keccak_f1600_device(lanes.at[:17].set(lanes[:17] ^ bytes_to_lanes(block)))
+    return lanes_to_bytes(lanes2[:4])

@@ -113,73 +113,109 @@ def _sumcheck_fs_kernel(
         term_meta,
     )
 
+    from ..ops.keccak_kernel import absorb_dyn, digest_dyn
+
     l = buf.shape[2]
     lanes, sbuf = sponge_state
-    sp = DeviceSponge(lanes, sbuf, pos0)
     qbits, cfg = cfg_key.qbits, cfg_key.cfg
     r2 = jnp.asarray(ctx.r2)
+    pos = jnp.asarray(pos0, jnp.int32)
+    n_points = degree + 1
+
+    def fs_step(lanes, sbuf, pos, evals):
+        """Absorb evals → squeeze+ratchet → challenge r (absorbed) —
+        dynamic-position sponge, so one trace serves every round."""
+        frames = [_field_frame(cfg, evals[p]) for p in range(n_points)]
+        lanes, sbuf, pos = absorb_dyn(lanes, sbuf, pos, jnp.concatenate(frames))
+        d = digest_dyn(lanes, sbuf, pos)
+        ratchet = jnp.concatenate(
+            [jnp.zeros(1, jnp.uint8), d, jnp.full(1, 1, jnp.uint8)]
+        )
+        lanes, sbuf, pos = absorb_dyn(lanes, sbuf, pos, ratchet)
+        value = _digest_to_value_limbs(d, qbits, l)
+        r = mont_mul(ctx, value, r2)  # cfg.fp(value): to Montgomery form
+        lanes, sbuf, pos = absorb_dyn(lanes, sbuf, pos, _field_frame(cfg, r))
+        return lanes, sbuf, pos, r
 
     active = buf.shape[1]
     use_mxu = use_pallas and mxu_supported(idx_terms, l)
     terms = term_meta(idx_terms) if use_mxu else None
     buf_lm = _to_lm(buf, active) if use_mxu and active >= 2 * MTILE else None
-    evals_out = []
-    rs_out = []
+    evals_arr = jnp.zeros((n_dev_rounds, n_points, l), jnp.uint32)
+    rs_arr = jnp.zeros((n_dev_rounds, l), jnp.uint32)
     r = jnp.zeros(l, jnp.uint32)
-    for rnd in range(n_dev_rounds):
-        if buf_lm is not None and rnd > 0 and active < 4 * MTILE:
-            # MXU tier exhausted: hand the small remainder to the VPU tier
+    rnd = 0
+
+    if buf_lm is not None:
+        # round 0: evaluation only
+        gs = _eval_lm(ctx, buf_lm, terms, jnp.asarray(active // (2 * MTILE), jnp.int32))
+        evals = g_to_evals_device(ctx, gs, coeffs, terms, degree)
+        lanes, sbuf, pos, r = fs_step(lanes, sbuf, pos, evals)
+        evals_arr = evals_arr.at[0].set(evals)
+        rs_arr = rs_arr.at[0].set(r)
+        rnd = 1
+        # fold rounds with identical structure roll into ONE fori_loop body —
+        # the unrolled form costs tens of minutes of tracing per process
+        n_mxu = 1
+        a = active
+        while n_mxu < n_dev_rounds and a >= 4 * MTILE:
+            n_mxu += 1
+            a //= 2
+
+        def loop_body(i, state):
+            buf_lm, act, lanes, sbuf, pos, r, evals_arr, rs_arr = state
+            buf_lm = _fold_lm(ctx, buf_lm, r, act // (4 * MTILE))
+            act = act // 2
+            gs = _eval_lm(ctx, buf_lm, terms, act // (2 * MTILE))
+            evals = g_to_evals_device(ctx, gs, coeffs, terms, degree)
+            lanes, sbuf, pos, r = fs_step(lanes, sbuf, pos, evals)
+            evals_arr = jax.lax.dynamic_update_slice(
+                evals_arr, evals[None], (i, jnp.int32(0), jnp.int32(0))
+            )
+            rs_arr = jax.lax.dynamic_update_slice(rs_arr, r[None], (i, jnp.int32(0)))
+            return buf_lm, act, lanes, sbuf, pos, r, evals_arr, rs_arr
+
+        if n_mxu > 1:
+            state = (buf_lm, jnp.asarray(active, jnp.int32), lanes, sbuf, pos, r,
+                     evals_arr, rs_arr)
+            state = jax.lax.fori_loop(1, n_mxu, loop_body, state)
+            buf_lm, _, lanes, sbuf, pos, r, evals_arr, rs_arr = state
+            active >>= n_mxu - 1
+        rnd = n_mxu
+        if rnd < n_dev_rounds:
             buf = _from_lm(buf_lm, active)
             buf_lm = None
-        if buf_lm is not None:
-            # MXU tier: transpose-free bit-reversed limb-major round
-            if rnd > 0:
-                buf_lm = _fold_lm(ctx, buf_lm, r, active // (4 * MTILE))
-                active //= 2
-            gs = _eval_lm(ctx, buf_lm, terms, active // (2 * MTILE))
-            evals = g_to_evals_device(ctx, gs, coeffs, terms, degree)
-        else:
-            if use_pallas:
-                if rnd == 0:
-                    wide = _eval_fixed(
-                        ctx, buf, coeffs, degree, idx_terms, kinds, active // (2 * TILE)
-                    )
-                else:
-                    buf, wide = _fold_eval_fixed(
-                        ctx, buf, r, coeffs, degree, idx_terms, kinds,
-                        active // (4 * TILE),
-                    )
-                    active //= 2
-            else:
-                buf, wide = _round_body(
-                    ctx, buf, (r, coeffs), rnd == 0, degree, idx_terms
+
+    for rnd in range(rnd, n_dev_rounds):
+        if use_pallas:
+            if rnd == 0:
+                wide = _eval_fixed(
+                    ctx, buf, coeffs, degree, idx_terms, kinds, active // (2 * TILE)
                 )
-            evals = mod_reduce_wide(ctx, wide)  # (P, L) Montgomery residues
-        evals_out.append(evals)
-        # absorb the evaluations
-        frames = [_field_frame(cfg, evals[p]) for p in range(evals.shape[0])]
-        sp = sp.absorb(jnp.concatenate(frames))
-        # squeeze + ratchet
-        d = sp.digest()
-        ratchet = jnp.concatenate(
-            [jnp.zeros(1, jnp.uint8), d, jnp.full(1, 1, jnp.uint8)]
-        )
-        sp = sp.absorb(ratchet)
-        value = _digest_to_value_limbs(d, qbits, l)
-        r = mont_mul(ctx, value, r2)  # cfg.fp(value): to Montgomery form
-        rs_out.append(r)
-        # absorb the challenge
-        sp = sp.absorb(_field_frame(cfg, r))
+            else:
+                buf, wide = _fold_eval_fixed(
+                    ctx, buf, r, coeffs, degree, idx_terms, kinds,
+                    active // (4 * TILE),
+                )
+                active //= 2
+        else:
+            buf, wide = _round_body(
+                ctx, buf, (r, coeffs), rnd == 0, degree, idx_terms
+            )
+        evals = mod_reduce_wide(ctx, wide)  # (P, L) Montgomery residues
+        lanes, sbuf, pos, r = fs_step(lanes, sbuf, pos, evals)
+        evals_arr = evals_arr.at[rnd].set(evals)
+        rs_arr = rs_arr.at[rnd].set(r)
 
     if buf_lm is not None:
         buf = _from_lm(buf_lm, active)
 
     return (
         buf,
-        jnp.stack(evals_out),  # (rounds, P, L)
-        jnp.stack(rs_out),  # (rounds, L)
-        sp.lanes,
-        sp.buf,
+        evals_arr,  # (rounds, P, L)
+        rs_arr,  # (rounds, L)
+        lanes,
+        sbuf,
     )
 
 

@@ -205,18 +205,21 @@ class ZincVerifier:
             raise ZincError("field config mismatch: wrong public input binding")
 
         ccs_f = ccs.map_to_field(cfg)
-        statement_f = statement.map_to_field(cfg)
+        # the device backend projects the (integer) constraint matrices on
+        # device inside the final evaluation — the host-side map_to_field of
+        # every nonzero is the single most expensive verifier step at 2^20
+        statement_k = statement if self.backend == "device" else statement.map_to_field(cfg)
 
         try:
             points = spartan_verify(proof.spartan_proof, ccs_f, transcript, cfg)
         except SpartanError as e:
             raise ZincError(f"Spartan verification failed: {e}") from e
 
-        self._verify_pcs_proof(statement_f, proof.zip_proof, points, ccs_f, transcript, cfg)
+        self._verify_pcs_proof(statement_k, proof.zip_proof, points, ccs_f, transcript, cfg)
 
     def _verify_pcs_proof(
         self,
-        statement_f: Statement,
+        statement_k: Statement,  # integer statement (device) | field (host)
         zip_proof: ZipProof,
         points,
         ccs_f: CCS,
@@ -236,13 +239,15 @@ class ZincVerifier:
 
         # Final check: Σⱼ γʲ·M̃ⱼ(r_x‖r_y)·v == e_y (sparse evaluation)
         if self.backend == "device":
-            from .ops.sparse import evaluate_mle_device, upload_matrix_f
+            from .ops.sparse import evaluate_mle_device, upload_matrix
 
+            # integer matrices, projected on device (vectorized) — never
+            # through per-entry host Fp conversion
             v_xy = [
-                evaluate_mle_device(cfg, upload_matrix_f(cfg, m), r_x, r_y)
-                for m in statement_f.constraints
+                evaluate_mle_device(cfg, upload_matrix(cfg, m), r_x, r_y)
+                for m in statement_k.constraints
             ]
         else:
-            v_xy = [evaluate_mle(m, r_x, r_y, cfg) for m in statement_f.constraints]
+            v_xy = [evaluate_mle(m, r_x, r_y, cfg) for m in statement_k.constraints]
         if not lin_comb_gamma(points.gamma, v_xy) * zip_proof.v == points.e_y:
             raise ZincError("gamma combination of matrix evaluations != e_y")

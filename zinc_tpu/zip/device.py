@@ -254,8 +254,8 @@ def write_column_records(
             if depth > 0
             else None
         )
-        vals = np.asarray(vals_d)
-        sib0 = np.asarray(sib0_d) if sib0_d is not None else None
+        vals = np.ascontiguousarray(np.asarray(vals_d))
+        sib0 = np.ascontiguousarray(np.asarray(sib0_d)) if sib0_d is not None else None
         layer_nps = [None] + [np.asarray(l) for l in data.layer_arrays[1:]]
     records[:, :val_bytes] = (
         vals.astype("<u2").view(np.uint8).reshape(n_open, val_bytes)

@@ -190,6 +190,8 @@ def verify_poly(
     transcript: PcsTranscript,
     cfg: FieldConfig,
 ) -> None:
+    from ..utils.timing import timed
+
     _validate("verify", pp, None, [point])
     row_len = pp.code.row_len
     codeword_len = pp.code.codeword_len()
@@ -198,11 +200,12 @@ def verify_poly(
     # ---- testing phase ----------------------------------------------------
     prox: list[tuple[list[int], list[int]]] = []
     if pp.num_rows > 1:
-        for _ in range(pp.code.num_proximity_testing()):
-            coeffs = transcript.fs.get_integer_challenges(pp.num_rows, pp.zt.n_words)
-            combined_row = transcript.read_integers(row_len, pp.zt.m_words)
-            encoded_combined_row = pp.code.encode(combined_row)
-            prox.append((coeffs, encoded_combined_row))
+        with timed("verify.prox_read_encode"):
+            for _ in range(pp.code.num_proximity_testing()):
+                coeffs = transcript.fs.get_integer_challenges(pp.num_rows, pp.zt.n_words)
+                combined_row = transcript.read_integers(row_len, pp.zt.m_words)
+                encoded_combined_row = pp.code.encode(combined_row)
+                prox.append((coeffs, encoded_combined_row))
 
     # ---- testing phase: column openings (vectorized) -----------------------
     # Column indices are pure transcript squeezes and proof reads never touch
@@ -214,33 +217,35 @@ def verify_poly(
     n_open = pp.code.num_column_opening()
     num_rows = pp.num_rows
     depth = (codeword_len - 1).bit_length() if codeword_len > 1 else 0
-    cols = np.array(
-        [transcript.squeeze_challenge_idx(cfg, codeword_len) for _ in range(n_open)],
-        dtype=np.int64,
-    )
-    val_bytes = num_rows * kw * 8
-    rec_bytes = val_bytes + num_rows * (8 + depth * 32)
-    raw = transcript._read(n_open * rec_bytes)
-    rec = np.frombuffer(raw, np.uint8).reshape(n_open, rec_bytes)
-    words = (
-        np.ascontiguousarray(rec[:, :val_bytes])
-        .view("<u8")
-        .reshape(n_open, num_rows, kw)
-    )  # two's-complement K-width values, LE word order
-    pathsec = rec[:, val_bytes:].reshape(n_open, num_rows, 8 + depth * 32)
+    with timed("verify.squeeze_cols"):
+        cols = np.array(
+            [transcript.squeeze_challenge_idx(cfg, codeword_len) for _ in range(n_open)],
+            dtype=np.int64,
+        )
+    with timed("verify.parse_records"):
+        val_bytes = num_rows * kw * 8
+        rec_bytes = val_bytes + num_rows * (8 + depth * 32)
+        raw = transcript._read(n_open * rec_bytes)
+        rec = np.frombuffer(raw, np.uint8).reshape(n_open, rec_bytes)
+        words = (
+            np.ascontiguousarray(rec[:, :val_bytes])
+            .view("<u8")
+            .reshape(n_open, num_rows, kw)
+        )  # two's-complement K-width values, LE word order
+        pathsec = rec[:, val_bytes:].reshape(n_open, num_rows, 8 + depth * 32)
 
-    # sign/magnitude decomposition of the opened values
-    neg = (words[:, :, kw - 1] >> np.uint64(63)).astype(bool)
-    mag = words.copy()
-    if neg.any():
-        inv = ~words[neg]
-        carry = np.ones(inv.shape[:-1], np.uint64)
-        for w in range(kw):
-            s = inv[..., w] + carry
-            inv[..., w] = s
-            carry = (s < carry).astype(np.uint64)
-        mag[neg] = inv
-    sign_pm = np.where(neg, -1, 1).astype(np.int32)
+        # sign/magnitude decomposition of the opened values
+        neg = (words[:, :, kw - 1] >> np.uint64(63)).astype(bool)
+        mag = words.copy()
+        if neg.any():
+            inv = ~words[neg]
+            carry = np.ones(inv.shape[:-1], np.uint64)
+            for w in range(kw):
+                s = inv[..., w] + carry
+                inv[..., w] = s
+                carry = (s < carry).astype(np.uint64)
+            mag[neg] = inv
+        sign_pm = np.where(neg, -1, 1).astype(np.int32)
 
     # integer proximity: Σ_r coeff_r · v_{r,c} must re-encode to the claimed
     # combined rows at the opened columns.  Device combinations are DISPATCHED
@@ -279,8 +284,9 @@ def verify_poly(
     # in the byte stream (all already consumed above), so the combined row
     # can be read now and the field-phase device combination dispatched
     # before the host does the Merkle folding.
-    q_0_combined_row = transcript.read_field_elements(row_len, cfg)
-    q_0, q_1 = _point_to_tensor(pp.num_rows, point, cfg)
+    with timed("verify.eval_read_tensor"):
+        q_0_combined_row = transcript.read_field_elements(row_len, cfg)
+        q_0, q_1 = _point_to_tensor(pp.num_rows, point, cfg)
 
     if num_rows > 1:
         from ..fields.montgomery import device_field, lazy_sum, mod_reduce_wide, mont_mul
@@ -299,13 +305,14 @@ def verify_poly(
 
     # host work while the chip runs: re-encode over the field, check the
     # evaluation claim, and fold every Merkle path natively
-    encoded_combined_row_f = pp.code.encode_f(q_0_combined_row, cfg)
+    with timed("verify.field_reencode"):
+        encoded_combined_row_f = pp.code.encode_f(q_0_combined_row, cfg)
 
-    acc = cfg.zero()
-    for a, b in zip(q_0_combined_row, q_1):
-        acc = acc + a * b
-    if not acc == eval_claim:
-        raise PcsError("evaluation consistency failure")
+        acc = cfg.zero()
+        for a, b in zip(q_0_combined_row, q_1):
+            acc = acc + a * b
+        if not acc == eval_claim:
+            raise PcsError("evaluation consistency failure")
 
     # Merkle: every path must carry the tree depth and fold to the row root
     if not (
@@ -317,17 +324,19 @@ def verify_poly(
     from ..native import blake3_batch, merkle_fold_batch_strided
 
     n_paths = n_open * num_rows
-    leaves_hashed = blake3_batch(leaves, n_paths, kw * 8)
+    with timed("verify.leaf_hash"):
+        leaves_hashed = blake3_batch(leaves, n_paths, kw * 8)
     if leaves_hashed is None:
         leaves_hashed = b"".join(
             blake3(leaves[i * kw * 8 : (i + 1) * kw * 8]) for i in range(n_paths)
         )
     indices = np.repeat(cols, num_rows)
     # fold straight out of the raw proof buffer (record-strided, no copy)
-    folded = merkle_fold_batch_strided(
-        leaves_hashed, raw, val_bytes + 8, rec_bytes, num_rows, 8 + depth * 32,
-        indices, depth,
-    )
+    with timed("verify.merkle_fold"):
+        folded = merkle_fold_batch_strided(
+            leaves_hashed, raw, val_bytes + 8, rec_bytes, num_rows, 8 + depth * 32,
+            indices, depth,
+        )
     if folded is not None:
         folded_arr = np.frombuffer(folded, np.uint8).reshape(n_open, num_rows, 32)
         roots_arr = np.frombuffer(b"".join(comm.roots), np.uint8).reshape(num_rows, 32)
@@ -343,9 +352,10 @@ def verify_poly(
                 raise PcsError("Merkle path verification failed")
 
     # ---- fetch + compare the deferred device combinations ------------------
-    for combined_dev, expected, msg in deferred:
-        if not np.array_equal(np.asarray(combined_dev), expected):
-            raise PcsError(msg)
+    with timed("verify.fetch_device"):
+        for combined_dev, expected, msg in deferred:
+            if not np.array_equal(np.asarray(combined_dev), expected):
+                raise PcsError(msg)
 
     # field-phase proximity: Σ_r q0_r·f(v_{r,c}) == encode_f(q0ᵀU)[c]
     if num_rows > 1:

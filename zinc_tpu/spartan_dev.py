@@ -54,8 +54,8 @@ def _sc1_setup(ctx, n_rows: int, mats, z_f, beta_l):
     from .poly.device import _eq_table_device
 
     mz = [
-        _segmented_matvec(ctx, vals, cols, rows, n_rows, z_f)
-        for vals, cols, rows in mats
+        _segmented_matvec(ctx, vals, cols, row_ends, z_f)
+        for vals, cols, row_ends in mats
     ]
     eq_beta = _eq_table_device(ctx, beta_l)
     return jnp.concatenate([jnp.stack(mz), eq_beta[None]], axis=0)
@@ -69,8 +69,8 @@ def _sc2_setup(ctx, n_cols: int, mats, z_f, rx_l, gamma_l):
 
     eq_rx = _eq_table_device(ctx, rx_l)
     evals = None
-    for vals, cols, rows in reversed(mats):
-        table_j = _segmented_matvec(ctx, vals, rows, cols, n_cols, eq_rx)
+    for vals_bc, rows_bc, col_ends in reversed(mats):
+        table_j = _segmented_matvec(ctx, vals_bc, rows_bc, col_ends, eq_rx)
         evals = (
             table_j
             if evals is None
@@ -120,32 +120,40 @@ def spartan_prove_device(
         proof, randomness = prove_as_subprotocol_device(transcript, ex, nvars, degree, cfg)
         return proof, randomness, ex.final_values()
 
+    from .utils.timing import timed
+
     # ---- sumcheck 1 -------------------------------------------------------
     beta_s = squeeze_beta_challenges(transcript, ccs.s, cfg)
-    tables = _sc1_setup(
+    with timed("spartan.sc1_setup"):
+        tables = _sc1_setup(
         ctx,
         ccs.m,
-        tuple((m.vals, m.cols_idx, m.rows_idx) for m in dstatement.matrices),
+        tuple((m.vals, m.cols_idx, m.row_ends) for m in dstatement.matrices),
         z_f,
         jnp.asarray(fps_to_limbs(beta_s, cfg)),
     )
+        np.asarray(tables[:, :1, :1])  # tiny fetch: waits for the enqueued setup
     eq_idx = len(dstatement.matrices)
     comb1 = [(ci, tuple(ccs.S[i]) + (eq_idx,)) for i, ci in enumerate(c_f) if not ci.is_zero()]
-    proof1, r_x, finals1 = run_sumcheck(tables, ccs.s, ccs.d + 1, comb1)
+    with timed("spartan.sumcheck1"):
+        proof1, r_x, finals1 = run_sumcheck(tables, ccs.s, ccs.d + 1, comb1)
     v_s = finals1[: len(dstatement.matrices)]
 
     # ---- sumcheck 2 -------------------------------------------------------
     gamma = squeeze_gamma_challenge(transcript, cfg)
-    tables2 = _sc2_setup(
+    with timed("spartan.sc2_setup"):
+        tables2 = _sc2_setup(
         ctx,
         ccs.m,
-        tuple((m.vals, m.cols_idx, m.rows_idx) for m in dstatement.matrices),
+        tuple((m.vals_by_col, m.rows_by_col, m.col_ends) for m in dstatement.matrices),
         z_f,
         jnp.asarray(fps_to_limbs(r_x, cfg)),
         jnp.asarray(fps_to_limbs([gamma], cfg)[0]),
     )
+        np.asarray(tables2[:, :1, :1])
     comb2 = [(cfg.one(), (0, 1))]
-    proof2, r_y, finals2 = run_sumcheck(tables2, ccs.s, 2, comb2)
+    with timed("spartan.sumcheck2"):
+        proof2, r_y, finals2 = run_sumcheck(tables2, ccs.s, 2, comb2)
     v = finals2[1]
 
     return SpartanProof(proof1, proof2, v_s), r_y, v

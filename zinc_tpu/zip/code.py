@@ -96,6 +96,9 @@ class RaaCode:
         rep_log = _next_pow2(self.repetition_factor).bit_length() - 1
         num_vars_even = num_vars + (num_vars & 1)
         codeword_width_bits = 64 * zt.n_words + num_vars_even + 2 * rep_log
+        # |codeword value| < 2^codeword_width_bits: limbs above this are pure
+        # sign extension on the wire (used to narrow device downloads)
+        self.codeword_width_bits = codeword_width_bits
         if 64 * zt.k_words < codeword_width_bits:
             raise ValueError(
                 f"Cannot fit {codeword_width_bits}-bit codeword entries in "
@@ -183,6 +186,10 @@ class ZipLinearCode:
         self._num_proximity_testing = spec.num_proximity_testing(zt.n_words, self.row_len, n_0)
         rows = self._codeword_len // 2
         density = self.row_len // 2
+        # |A·row| ≤ density·max|row| < 2^(64n + log2(density) + 1)
+        self.codeword_width_bits = (
+            64 * zt.n_words + max(density, 1).bit_length() + 1
+        )
         self.a = _sample_sparse_matrix(rows, self.row_len, density, transcript)
         self.b = _sample_sparse_matrix(rows, self.row_len, density, transcript)
 

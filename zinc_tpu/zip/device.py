@@ -214,7 +214,10 @@ def open_device(
     cols = np.array(
         [transcript.squeeze_challenge_idx(cfg, codeword_len) for _ in range(n_open)]
     )
-    write_column_records(data, cols, depth, num_rows, transcript)
+    write_column_records(
+        data, cols, depth, num_rows, transcript,
+        width_bits=getattr(pp.code, "codeword_width_bits", None),
+    )
 
     # ---- evaluation phase ---------------------------------------------------
     log_rows = num_rows.bit_length() - 1
@@ -231,9 +234,19 @@ def open_device(
 
 
 def write_column_records(
-    data: DeviceZipData, cols: np.ndarray, depth: int, num_rows: int, transcript: PcsTranscript
+    data: DeviceZipData,
+    cols: np.ndarray,
+    depth: int,
+    num_rows: int,
+    transcript: PcsTranscript,
+    width_bits: int | None = None,
 ) -> None:
-    """Assemble and write the per-column opening records (values + paths)."""
+    """Assemble and write the per-column opening records (values + paths).
+
+    ``width_bits`` (the code's |value| bound) lets the device path download
+    only the non-sign-extension limb prefix (e.g. 6 of 64 u16 limbs at the
+    default 2^20 parameters) and reconstruct the full two's-complement wire
+    form on host — an ~10× cut of the biggest open-phase transfer."""
     n_open = cols.shape[0]
     lk = data.enc.shape[-1]
     val_bytes = 2 * lk * num_rows
@@ -248,13 +261,25 @@ def write_column_records(
         # siblings on device (proof-sized), download the (much smaller) upper
         # levels whole.  Both gathers are dispatched before any fetch blocks.
         cols_d = jnp.asarray(cols)
-        vals_d = jnp.transpose(data.enc[:, cols_d, :], (1, 0, 2)).astype(jnp.uint16)
+        narrow = lk
+        if width_bits is not None:
+            narrow = min(lk, (width_bits + 1 + 15) // 16 + 1)
+        vals_d = jnp.transpose(
+            data.enc[:, cols_d, :narrow], (1, 0, 2)
+        ).astype(jnp.uint16)
         sib0_d = (
             jnp.transpose(data.layer_arrays[0][:, cols_d ^ 1, :], (1, 0, 2))
             if depth > 0
             else None
         )
-        vals = np.ascontiguousarray(np.asarray(vals_d))
+        vals_narrow = np.ascontiguousarray(np.asarray(vals_d))
+        if narrow < lk:
+            vals = np.empty((n_open, num_rows, lk), np.uint16)
+            vals[:, :, :narrow] = vals_narrow
+            sign_fill = (vals_narrow[:, :, narrow - 1] >> 15).astype(np.uint16) * np.uint16(0xFFFF)
+            vals[:, :, narrow:] = sign_fill[:, :, None]
+        else:
+            vals = vals_narrow
         sib0 = np.ascontiguousarray(np.asarray(sib0_d)) if sib0_d is not None else None
         layer_nps = [None] + [np.asarray(l) for l in data.layer_arrays[1:]]
     records[:, :val_bytes] = (

@@ -36,3 +36,30 @@ def test_device_zinc_prove_identical_and_verifies():
 
     # and verifies end-to-end
     ZincVerifier(ZT).verify(statement, proof_d, KeccakTranscript(), ccs, cfg)
+
+
+def test_device_backend_verifier_accepts_and_rejects():
+    """ZincVerifier(backend="device") — integer matrices projected on device
+    in the final γ-combination — must agree with the host verifier on both
+    acceptance and rejection."""
+    import pytest
+
+    from zinc_tpu.zinc import ZincError
+
+    rng = random.Random(22)
+    _, ccs, statement, wit = dummy_ccs_of_size(1 << 5, rng, int_bits=62)
+    t = KeccakTranscript()
+    cfg = draw_random_field(statement.public_input, t, ZT.n_words, FIELD_LIMBS)
+    proof = ZincProver(ZT, backend="device").prove(statement, wit, t, ccs, cfg)
+    ZincVerifier(ZT, backend="device").verify(statement, proof, KeccakTranscript(), ccs, cfg)
+    # tamper: corrupt the claimed evaluation
+    from zinc_tpu.zinc import ZincProof, ZipProof
+
+    bad_zip = ZipProof(
+        z_comm=proof.zip_proof.z_comm,
+        v=proof.zip_proof.v + cfg.one(),
+        pcs_proof=proof.zip_proof.pcs_proof,
+    )
+    bad = ZincProof(spartan_proof=proof.spartan_proof, zip_proof=bad_zip)
+    with pytest.raises(ZincError):
+        ZincVerifier(ZT, backend="device").verify(statement, bad, KeccakTranscript(), ccs, cfg)

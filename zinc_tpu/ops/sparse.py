@@ -148,8 +148,8 @@ def eval_table_device(cfg: FieldConfig, m: DeviceCsr, rx: jnp.ndarray, num_cols:
 def _mle_eval_kernel(ctx, vals, rows_idx, cols_idx, eq_rx, eq_ry):
     from ..fields.montgomery import lazy_sum
 
-    prod = mont_mul(ctx, vals, eq_rx[rows_idx])
-    prod = mont_mul(ctx, prod, eq_ry[cols_idx])
+    prod = _mont_mul_best(ctx, vals, eq_rx[rows_idx])
+    prod = _mont_mul_best(ctx, prod, eq_ry[cols_idx])
     wide = lazy_sum(ctx, prod, axis=0)
     return mod_reduce_wide(ctx, wide[None, :])[0]
 

@@ -43,7 +43,19 @@ def test_golden_proof_verifies_and_tamper_rejected():
     cfg = draw_random_field(statement.public_input, KeccakTranscript(), zt.n_words, 4)
     proof = deserialize_proof(GOLDEN.read_bytes(), cfg)
     ZincVerifier(zt).verify(statement, proof, KeccakTranscript(), ccs, cfg)
-    # tamper probe: flip one byte deep in the PCS stream → must reject
+
+    # tamper probe 1: mutate a value that SURVIVES deserialization (a
+    # claimed matrix evaluation) — the VERIFIER itself must reject with the
+    # typed ZincError, exercising verification (not parsing) logic.
+    from zinc_tpu.zinc import ZincError
+
+    bad_proof = deserialize_proof(GOLDEN.read_bytes(), cfg)
+    bad_proof.spartan_proof.V_s[0] = bad_proof.spartan_proof.V_s[0] + cfg.one()
+    with pytest.raises(ZincError):
+        ZincVerifier(zt).verify(statement, bad_proof, KeccakTranscript(), ccs, cfg)
+
+    # tamper probe 2: flip one byte deep in the PCS stream → the pipeline
+    # (parse or verify) must reject
     bad = bytearray(GOLDEN.read_bytes())
     bad[len(bad) // 2] ^= 0x01
     with pytest.raises(Exception):
@@ -78,3 +90,30 @@ def test_host_device_identity_2p14():
         return serialize_proof(proof, cfg)
 
     assert prove("device") == prove("host")
+
+
+@pytest.mark.skipif(
+    not os.environ.get("ZINC_TPU_BIG_TESTS"),
+    reason="2^10 device-vs-golden identity: set ZINC_TPU_BIG_TESTS=1 (~3 min on 1 CPU)",
+)
+def test_device_prove_matches_golden_2p10():
+    """The DEVICE backend at 2^10 must reproduce the pinned golden bytes —
+    the strongest cross-backend identity the suite pins (the default-suite
+    golden test proves 2^10 on the host backend; this closes the loop)."""
+    import random
+
+    from zinc_tpu.ccs import dummy_ccs_of_size
+    from zinc_tpu.prime import draw_random_field
+    from zinc_tpu.serialize import serialize_proof
+    from zinc_tpu.transcript import KeccakTranscript
+    from zinc_tpu.zinc import ZincProver
+    from zinc_tpu.zip.code import ZipTypes
+    from tests.golden.gen import N, SEED
+
+    rng = random.Random(SEED)
+    _, ccs, statement, wit = dummy_ccs_of_size(N, rng, int_bits=62)
+    t = KeccakTranscript()
+    zt = ZipTypes(1)
+    cfg = draw_random_field(statement.public_input, t, zt.n_words, 4)
+    proof = ZincProver(zt, backend="device").prove(statement, wit, t, ccs, cfg)
+    assert serialize_proof(proof, cfg) == GOLDEN.read_bytes()

@@ -108,3 +108,107 @@ def test_identity_permutation_mles():
     rng = random.Random(5)
     perm = random_permutation(2, 2, rng, CFG)
     assert sorted(str(v) for v in perm) == sorted(str(CFG.fp(i)) for i in range(8))
+
+
+# ---------------------------------------------------------------------------
+# ℤ-side virtual-poly twins (poly/virtual_z.py, mirror of
+# /root/reference/src/poly_z/polynomials/multilinear_polynomial.rs)
+# ---------------------------------------------------------------------------
+
+
+def test_random_mle_list_z_sum():
+    from zinc_tpu.poly import random_mle_list_z, random_zero_mle_list_z
+
+    rng = random.Random(11)
+    mles, total = random_mle_list_z(4, 3, rng, bits=32)
+    acc = 0
+    for b in range(1 << 4):
+        prod = 1
+        for m in mles:
+            prod *= m.evaluations[b]
+        acc += prod
+    assert acc == total
+    zeros = random_zero_mle_list_z(4, 3, rng, bits=32)
+    for b in range(1 << 4):
+        prod = 1
+        for m in zeros:
+            prod *= m.evaluations[b]
+        assert prod == 0
+
+
+def test_fix_last_variables_z_matches_field_side():
+    """ℤ fix-last projected into the field must equal the F-side fix-last of
+    the projected polynomial (FieldMap commutes with variable fixing)."""
+    from zinc_tpu.poly import DenseMleZ, fix_last_variables, fix_last_variables_z
+
+    rng = random.Random(12)
+    nv = 5
+    evals = [rng.randrange(-(1 << 40), 1 << 40) for _ in range(1 << nv)]
+    pz = DenseMleZ(nv, evals)
+    pt_int = [rng.randrange(-(1 << 20), 1 << 20) for _ in range(3)]
+    fixed_z = fix_last_variables_z(pz, pt_int)
+    fixed_f = fix_last_variables(pz.map_to_field(CFG), [CFG.fp(v) for v in pt_int])
+    assert fixed_z.num_vars == fixed_f.num_vars == nv - 3
+    assert [CFG.fp(v) for v in fixed_z.evaluations] == fixed_f.evaluations
+
+
+def test_merge_and_permutations_z():
+    from zinc_tpu.poly import (
+        DenseMleZ,
+        get_batched_nv,
+        identity_permutation_mles_z,
+        merge_polynomials_z,
+        random_permutation_z,
+    )
+
+    rng = random.Random(13)
+    nv = 3
+    polys = [
+        DenseMleZ(nv, [rng.randrange(-100, 100) for _ in range(1 << nv)])
+        for _ in range(3)
+    ]
+    merged = merge_polynomials_z(polys)
+    assert merged.num_vars == get_batched_nv(nv, 3)
+    for i, p in enumerate(polys):
+        assert merged.evaluations[i * (1 << nv) : (i + 1) * (1 << nv)] == p.evaluations
+    assert merged.evaluations[3 * (1 << nv) :] == [0] * ((1 << merged.num_vars) - 3 * (1 << nv))
+
+    mles = identity_permutation_mles_z(2, 2)
+    assert mles[0].evaluations == [0, 1, 2, 3]
+    assert mles[1].evaluations == [4, 5, 6, 7]
+    perm = random_permutation_z(2, 2, rng)
+    assert sorted(perm) == list(range(8))
+
+
+def test_evaluate_opt_z_matches_field():
+    from zinc_tpu.poly import DenseMleZ, evaluate_opt_z
+
+    rng = random.Random(14)
+    nv = 4
+    pz = DenseMleZ(nv, [rng.randrange(-(1 << 30), 1 << 30) for _ in range(1 << nv)])
+    pt = [rng.randrange(-(1 << 10), 1 << 10) for _ in range(nv)]
+    got = evaluate_opt_z(pz, pt)
+    want = pz.map_to_field(CFG).evaluate([CFG.fp(v) for v in pt])
+    assert CFG.fp(got) == want
+
+
+def test_instance_z_trait_and_bigint_serializer():
+    from zinc_tpu.ccs import InstanceZ, Statement
+    from zinc_tpu.fields.limbs import bigint_deserialize, bigint_serialize
+
+    st = Statement(constraints=[], public_input=[7, 9])
+    assert isinstance(st, InstanceZ)
+    assert st.get_z_vector([3, 4]) == [7, 9, 1, 3, 4]
+
+    v = (1 << 200) + 12345
+    blob = bigint_serialize(v, 4)
+    assert len(blob) == 32
+    assert bigint_deserialize(blob, 4) == v
+    # LE u64 word order: word 0 first
+    assert blob[:8] == (12345).to_bytes(8, "little")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bigint_serialize(1 << 256, 4)
+    with _pytest.raises(ValueError):
+        bigint_deserialize(blob[:-1], 4)

@@ -96,3 +96,47 @@ def test_honest_prover_accepts():
     pp, poly, point = _setup(4)
     comm, v, proof = _prove(pp, poly, point)
     verify_poly(pp, comm, point, v, PcsTranscript.from_proof(proof), CFG)
+
+
+def test_close_codeword_still_opens():
+    """Accept-side proximity boundary: a corruption WITHIN the proximity
+    radius (one codeword entry bumped by 1, Merkle trees rebuilt over the
+    corrupted rows) must still open successfully — the mirror of
+    /root/reference/src/zip/pcs/open_z.rs:221-258
+    (successful_opening_with_a_close_codeword)."""
+    from zinc_tpu.zip.merkle import MerkleTree, int_to_leaf_bytes
+
+    pp, poly, point = _setup(5)
+    data, _comm = commit(pp, poly)
+    cw = pp.code.codeword_len()
+    depth = max((cw - 1).bit_length(), 0)
+    data.rows[0] += 1
+    data.trees = [
+        MerkleTree.from_leaves(
+            depth,
+            [
+                int_to_leaf_bytes(v, pp.zt.k_words)
+                for v in data.rows[r * cw : (r + 1) * cw]
+            ],
+        )
+        for r in range(pp.num_rows)
+    ]
+    pt = PcsTranscript()
+    open_poly(pp, poly, data, point, CFG, pt)  # must not raise
+    assert pt.into_proof()  # a non-empty opening was produced
+
+
+def test_merkle_failures_are_typed():
+    """Merkle-layer rejections surface as MerkleError (a PcsError subclass)
+    — the typed twin of /root/reference/src/zip/pcs/error.rs:4-26."""
+    from zinc_tpu.zip.pcs import MerkleError
+
+    pp, poly, point = _setup(6)
+    data, comm = commit(pp, poly)
+    pt = PcsTranscript()
+    open_poly(pp, poly, data, point, CFG, pt)
+    v = poly.map_to_field(CFG).evaluate(point)
+    # corrupt one root: every path fold mismatches that row's root
+    comm.roots[0] = bytes(32)
+    with pytest.raises(MerkleError):
+        verify_poly(pp, comm, point, v, PcsTranscript.from_proof(pt.into_proof()), CFG)

@@ -77,8 +77,18 @@ class CCS:
             raise CSError("CCS relation not satisfied")
 
 
+class InstanceZ:
+    """Behaviour of a satisfying instance of a constraint system: given a
+    witness, produce the z concatenation (io ‖ 1 ‖ w).  Mirror of the
+    reference trait `Instance_Z` (/root/reference/src/ccs/ccs_z.rs:211-229),
+    implemented by :class:`Statement`."""
+
+    def get_z_vector(self, w: list, one=1) -> list:
+        raise NotImplementedError
+
+
 @dataclass
-class Statement:
+class Statement(InstanceZ):
     """Constraint matrices + public input (ℤ or field flavor)."""
 
     constraints: list  # list[SparseMatrix]

@@ -299,6 +299,25 @@ def i64_to_limbs(values: np.ndarray, nlimbs: int) -> np.ndarray:
     return out
 
 
+def bigint_serialize(value: int, n64: int) -> bytes:
+    """Canonical BigInt wire form: n64 u64 words, little-endian per word,
+    word 0 first — the mirror of the reference's CanonicalSerialize for
+    BigInt<N> (/root/reference/src/field/biginteger.rs:67-79, which defers
+    to `[u64; N]`: consecutive LE u64s).  `value` must be a non-negative
+    canonical representative < 2^(64·n64)."""
+    if value < 0 or value >> (64 * n64):
+        raise ValueError(f"value does not fit in {n64} u64 limbs")
+    return value.to_bytes(8 * n64, "little")
+
+
+def bigint_deserialize(data: bytes, n64: int) -> int:
+    """Inverse of :func:`bigint_serialize`
+    (/root/reference/src/field/biginteger.rs:86-97)."""
+    if len(data) != 8 * n64:
+        raise ValueError(f"expected {8 * n64} bytes, got {len(data)}")
+    return int.from_bytes(data, "little")
+
+
 # ---------------------------------------------------------------------------
 # NAF scalar recoding (host utility)
 # ---------------------------------------------------------------------------

@@ -29,6 +29,18 @@ from .virtual import (
     random_permutation_mles,
     random_zero_mle_list,
 )
+from .virtual_z import (
+    evaluate_opt_z,
+    fix_last_variables_z,
+    fix_variables_z,
+    identity_permutation_mles_z,
+    identity_permutation_z,
+    merge_polynomials_z,
+    random_mle_list_z,
+    random_permutation_mles_z,
+    random_permutation_z,
+    random_zero_mle_list_z,
+)
 
 __all__ = [
     "DenseMleF",
@@ -55,4 +67,14 @@ __all__ = [
     "random_permutation",
     "random_permutation_mles",
     "random_zero_mle_list",
+    "evaluate_opt_z",
+    "fix_last_variables_z",
+    "fix_variables_z",
+    "identity_permutation_z",
+    "identity_permutation_mles_z",
+    "merge_polynomials_z",
+    "random_mle_list_z",
+    "random_permutation_z",
+    "random_permutation_mles_z",
+    "random_zero_mle_list_z",
 ]

@@ -35,6 +35,12 @@ class PcsError(Exception):
     pass
 
 
+class MerkleError(PcsError):
+    """Merkle-layer failure (invalid proof, path length, root mismatch) —
+    the typed twin of /root/reference/src/zip/pcs/error.rs:4-26.  Subclasses
+    PcsError so PCS-level handlers keep catching it."""
+
+
 @dataclass
 class ZipParams:
     num_vars: int
@@ -318,7 +324,7 @@ def verify_poly(
     if not (
         pathsec[:, :, :8] == np.frombuffer(depth.to_bytes(8, "big"), np.uint8)
     ).all():
-        raise PcsError("inconsistent Merkle path depth")
+        raise MerkleError("inconsistent Merkle path depth")
     leaves = words.astype(">u8").tobytes()  # LE word order, BE bytes per word
     from ..hashing.blake3 import blake3
     from ..native import blake3_batch, merkle_fold_batch_strided
@@ -341,7 +347,7 @@ def verify_poly(
         folded_arr = np.frombuffer(folded, np.uint8).reshape(n_open, num_rows, 32)
         roots_arr = np.frombuffer(b"".join(comm.roots), np.uint8).reshape(num_rows, 32)
         if not np.array_equal(folded_arr, np.broadcast_to(roots_arr, folded_arr.shape)):
-            raise PcsError("Merkle path verification failed")
+            raise MerkleError("Merkle path verification failed")
     else:  # pure-Python fallback
         sib_bytes = np.ascontiguousarray(pathsec[:, :, 8:]).tobytes()
         for i in range(n_paths):
@@ -349,7 +355,7 @@ def verify_poly(
             pb = sib_bytes[i * depth * 32 : (i + 1) * depth * 32]
             path = [pb[32 * d : 32 * d + 32] for d in range(depth)]
             if not verify_merkle_path(comm.roots[i % num_rows], lb, int(indices[i]), path):
-                raise PcsError("Merkle path verification failed")
+                raise MerkleError("Merkle path verification failed")
 
     # ---- fetch + compare the deferred device combinations ------------------
     with timed("verify.fetch_device"):

@@ -1,0 +1,90 @@
+"""XLA twins of the MXU limb-major kernels vs the host oracle (CPU suite).
+
+The Pallas MXU round kernels (sumcheck/mxu_exec.py) were previously pinned
+only by the on-chip suite; the XLA twins (fold_lm_ref / eval_lm_ref) run the
+identical limb/REDC/byte-plane algebra as plain XLA, so the fused v3 fold
+chain and the G-plane evaluation are value-pinned against the pure-Python
+oracle on every CPU run — and the sharded limb-major executor
+(parallel/sumcheck.py) exercises the same code path on the virtual mesh.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zinc_tpu.fields.config import FieldConfig
+from zinc_tpu.fields.montgomery import device_field
+from zinc_tpu.poly.device import fps_to_limbs
+from zinc_tpu.sumcheck.mxu_exec import (
+    TILE,
+    _from_lm,
+    _to_lm,
+    eval_lm_ref,
+    fold_lm_ref,
+    g_to_evals_host,
+    term_meta,
+)
+from zinc_tpu.sumcheck.prover import _fold, _round_evals
+
+CFG = FieldConfig((1 << 255) + 95, 4)
+IDX_TERMS = ((0, 3), (1, 3), (2, 3))
+DEGREE = 3
+
+
+def _setup(b: int, n_mles: int = 4, seed: int = 0):
+    rng = random.Random(seed)
+    comb = [(CFG.one(), t) for t in IDX_TERMS]
+    mles = [[CFG.fp(rng.randrange(CFG.q)) for _ in range(b)] for _ in range(n_mles)]
+    tabs = np.stack([np.asarray(fps_to_limbs(m, CFG)) for m in mles])
+    r = CFG.fp(rng.randrange(CFG.q))
+    return comb, mles, tabs, r
+
+
+def test_fold_lm_ref_matches_host_fold():
+    b = 4 * TILE * 2
+    ctx = device_field(CFG)
+    comb, mles, tabs, r = _setup(b)
+    buf = _to_lm(jnp.asarray(tabs), b)
+    r_limbs = jnp.asarray(fps_to_limbs([r], CFG)[0])
+    folded = fold_lm_ref(ctx, buf, r_limbs, b // (4 * TILE))
+    got = np.asarray(_from_lm(folded, b // 2))
+    want = np.stack([np.asarray(fps_to_limbs(m, CFG)) for m in _fold(mles, r)])
+    assert np.array_equal(got, want)
+
+
+def test_eval_lm_ref_matches_host_round_evals():
+    b = 4 * TILE * 2
+    ctx = device_field(CFG)
+    comb, mles, tabs, r = _setup(b, seed=1)
+    terms = term_meta(IDX_TERMS)
+    buf = _to_lm(jnp.asarray(tabs), b)
+    # round 0
+    gs = eval_lm_ref(ctx, buf, terms, b // (2 * TILE))
+    evals = g_to_evals_host(CFG, [np.asarray(g) for g in gs], comb, terms, DEGREE)
+    assert evals == _round_evals(mles, DEGREE, comb, CFG)
+    # round 1 after a fold
+    r_limbs = jnp.asarray(fps_to_limbs([r], CFG)[0])
+    buf = fold_lm_ref(ctx, buf, r_limbs, b // (4 * TILE))
+    gs = eval_lm_ref(ctx, buf, terms, (b // 2) // (2 * TILE))
+    evals = g_to_evals_host(CFG, [np.asarray(g) for g in gs], comb, terms, DEGREE)
+    assert evals == _round_evals(_fold(mles, r), DEGREE, comb, CFG)
+
+
+def test_eval_lm_ref_two_factor_terms():
+    """2-factor terms (npj == 2 P-basis) through the same twin."""
+    b = 2 * TILE * 2
+    ctx = device_field(CFG)
+    idx_terms = ((0, 1), (2, 1))
+    comb_terms = term_meta(idx_terms)
+    rng = random.Random(2)
+    comb = [(CFG.one(), t) for t in idx_terms]
+    mles = [[CFG.fp(rng.randrange(CFG.q)) for _ in range(b)] for _ in range(3)]
+    tabs = np.stack([np.asarray(fps_to_limbs(m, CFG)) for m in mles])
+    buf = _to_lm(jnp.asarray(tabs), b)
+    gs = eval_lm_ref(ctx, buf, comb_terms, b // (2 * TILE))
+    evals = g_to_evals_host(CFG, [np.asarray(g) for g in gs], comb, comb_terms, 2)
+    assert evals == _round_evals(mles, 2, comb, CFG)

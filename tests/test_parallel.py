@@ -137,3 +137,43 @@ def test_2d_mesh_full_prove_bit_identical_and_verifies(mesh):
     assert cfg_ref.q == cfg_2d.q
     assert serialize_proof(proof_2d, cfg_2d) == serialize_proof(proof_ref, cfg_ref)
     ZincVerifier(ZT).verify(statement, proof_2d, KeccakTranscript(), ccs, cfg_2d)
+
+
+def test_sharded_lm_executor_matches_xla_sharded(mesh):
+    """The limb-major MXU-tier sharded executor (psum'd G byte planes, local
+    bit-reversed blocks, fused v3 fold) must produce the same transcripts as
+    the XLA-body sharded executor — which is itself pinned against the host
+    oracle above.  On CPU this runs the XLA twins of the Pallas kernels:
+    the exact code path shard_mapped on a real TPU mesh."""
+    from zinc_tpu.parallel.sumcheck import (
+        ShardedLmSumcheckExecutor,
+        ShardedSumcheckExecutor,
+        make_sharded_executor,
+    )
+    from zinc_tpu.poly.device import fps_to_limbs
+
+    import jax.numpy as jnp
+
+    rng = random.Random(8)
+    cfg = draw_random_field([123], KeccakTranscript(), ZT.n_words, FIELD_LIMBS)
+
+    nv, n_mles = 13, 4  # 1024 entries/device: the LM tier engages
+    tables_f = [
+        [cfg.fp(rng.randrange(cfg.q)) for _ in range(1 << nv)] for _ in range(n_mles)
+    ]
+    stacked = jnp.stack([jnp.asarray(fps_to_limbs(tf, cfg)) for tf in tables_f])
+    comb = [(cfg.one(), (0, 3)), (cfg.one(), (1, 3)), (cfg.one(), (2, 3))]
+
+    exs = make_sharded_executor(cfg, stacked, 3, comb, mesh)
+    assert isinstance(exs, ShardedLmSumcheckExecutor)
+    exd = ShardedSumcheckExecutor(cfg, stacked, 3, comb, mesh)
+
+    r_prev = None
+    for rnd in range(nv):
+        es = exs.round(r_prev)
+        ed = exd.round(r_prev)
+        assert es == ed, f"round {rnd} diverged"
+        r_prev = cfg.fp(rng.randrange(cfg.q))
+    exs.final_fold(r_prev)
+    exd.final_fold(r_prev)
+    assert exs.final_values() == exd.final_values()

@@ -66,6 +66,212 @@ def _sharded_fold_fn(mesh: Mesh, ctx: DeviceField):
     return jax.jit(fn)
 
 
+# ---------------------------------------------------------------------------
+# Sharded limb-major (MXU-tier) executor
+# ---------------------------------------------------------------------------
+#
+# The hypercube axis is block-sharded by its HIGH bits (device d owns indices
+# [d·B/D, (d+1)·B/D)); the fold binds the LOW bit, so fold pairs are local to
+# a device for every round until the local block is exhausted.  Each device
+# stores its block in the LOCAL bit-reversed limb-major layout of
+# sumcheck/mxu_exec.py, runs the same fused fold/eval kernels as the
+# single-chip MXU tier (Pallas on TPU; the XLA twins elsewhere, so the
+# virtual CPU mesh executes this exact code path), and the per-term G byte
+# planes close with one psum — decoded G integers are identical to the
+# unsharded run, so transcripts stay byte-identical.
+# ---------------------------------------------------------------------------
+
+
+def _lm_use_pallas() -> bool:
+    import os
+
+    if os.environ.get("ZINC_TPU_NO_PALLAS"):
+        return False
+    return jax.devices()[0].platform == "tpu"
+
+
+@lru_cache(maxsize=32)
+def _sharded_lm_prep(mesh: Mesh, b_local: int):
+    from ..sumcheck.mxu_exec import _to_lm
+
+    axes = tuple(mesh.axis_names)
+    fn = jax.shard_map(
+        lambda t: _to_lm(t, b_local),
+        mesh=mesh,
+        in_specs=P(None, axes, None),
+        out_specs=P(None, None, axes),
+    )
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=64)
+def _sharded_lm_fold(mesh: Mesh, ctx: DeviceField, nbh_local: int, use_pallas: bool):
+    from ..sumcheck.mxu_exec import _fold_lm, fold_lm_ref
+
+    axes = tuple(mesh.axis_names)
+
+    def local(buf, r):
+        if use_pallas:
+            return _fold_lm(ctx, buf, r, nbh_local)
+        return fold_lm_ref(ctx, buf, r, nbh_local)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None, axes), P(None)),
+        out_specs=P(None, None, axes),
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=64)
+def _sharded_lm_eval(mesh: Mesh, ctx: DeviceField, terms: tuple, nbh_local: int, use_pallas: bool):
+    from ..sumcheck.mxu_exec import _eval_lm, eval_lm_ref
+
+    axes = tuple(mesh.axis_names)
+
+    def local(buf):
+        if use_pallas:
+            gs = _eval_lm(ctx, buf, terms, nbh_local)
+        else:
+            gs = eval_lm_ref(ctx, buf, terms, nbh_local)
+        return tuple(jax.lax.psum(g, axes) for g in gs)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(None, None, axes),
+        out_specs=tuple(P(None, None, None, None) for _ in terms),
+    )
+    return jax.jit(fn)
+
+
+class ShardedLmSumcheckExecutor:
+    """MXU-tier sharded executor: limb-major blocks + psum'd G planes.
+
+    Drop-in for ShardedSumcheckExecutor when ``mxu_supported`` holds; the
+    tail (local block too small to pair) demotes to a replicated
+    DeviceSumcheckExecutor exactly like the 1-chip executor's tiers."""
+
+    def __init__(self, cfg: FieldConfig, tables, degree: int, comb, mesh: Mesh):
+        from ..sumcheck.mxu_exec import TILE, term_meta
+
+        self.cfg = cfg
+        self.ctx = device_field(cfg)
+        self.mesh = mesh
+        self.degree = degree
+        self._comb = comb
+        self.idx_terms = tuple(tuple(idxs) for _, idxs in comb)
+        self.terms = term_meta(self.idx_terms)
+        self.tile = TILE
+        self.d = mesh.size
+        b = tables.shape[1]
+        self.b_local = b // self.d
+        self.use_pallas = _lm_use_pallas()
+        axes = tuple(mesh.axis_names)
+        sharded = jax.device_put(
+            jnp.asarray(tables), NamedSharding(mesh, P(None, axes, None))
+        )
+        self.buf = _sharded_lm_prep(mesh, self.b_local)(sharded)
+        self.active_local = self.b_local
+        self._inner: DeviceSumcheckExecutor | None = None
+
+    # -- demotion ----------------------------------------------------------
+
+    def _gather_remainder(self) -> np.ndarray:
+        """(n_mles, D·active_local, L) batch-major global remainder."""
+        from ..sumcheck.mxu_exec import _bitrev
+
+        arr = np.asarray(self.buf)  # (n_mles, l, B) — device blocks concatenated
+        n_mles, l, _ = arr.shape
+        act = self.active_local
+        rev = _bitrev(act) if act > 1 else np.zeros(1, np.int64)
+        blocks = []
+        for dev in range(self.d):
+            blk = arr[:, :, dev * self.b_local : dev * self.b_local + act]
+            blocks.append(np.transpose(blk[:, :, rev], (0, 2, 1)))
+        return np.concatenate(blocks, axis=1)
+
+    def _maybe_demote(self, need_fold: bool) -> None:
+        if self._inner is not None:
+            return
+        need = 4 * self.tile if need_fold else 2 * self.tile
+        if self.active_local < need:
+            gathered = jax.device_put(
+                jnp.asarray(self._gather_remainder()),
+                NamedSharding(self.mesh, P(None, None, None)),
+            )
+            self._inner = DeviceSumcheckExecutor(
+                self.cfg, gathered, self.degree, self._comb
+            )
+            self.buf = None
+
+    # -- rounds ------------------------------------------------------------
+
+    def _decode(self, gs) -> list[Fp]:
+        from ..sumcheck.mxu_exec import g_to_evals_host
+
+        return g_to_evals_host(
+            self.cfg, [np.asarray(g) for g in gs], self._comb, self.terms, self.degree
+        )
+
+    def round(self, r_prev: Fp | None) -> list[Fp]:
+        self._maybe_demote(need_fold=r_prev is not None)
+        if self._inner is not None:
+            return self._inner.round(r_prev)
+        if r_prev is not None:
+            r = jnp.asarray(fps_to_limbs([r_prev], self.cfg)[0])
+            fold = _sharded_lm_fold(
+                self.mesh, self.ctx, self.active_local // (4 * self.tile),
+                self.use_pallas,
+            )
+            self.buf = fold(self.buf, r)
+            self.active_local //= 2
+        ev = _sharded_lm_eval(
+            self.mesh, self.ctx, self.terms, self.active_local // (2 * self.tile),
+            self.use_pallas,
+        )
+        return self._decode(ev(self.buf))
+
+    def final_fold(self, r: Fp):
+        self._maybe_demote(need_fold=True)
+        if self._inner is not None:
+            return self._inner.final_fold(r)
+        rl = jnp.asarray(fps_to_limbs([r], self.cfg)[0])
+        fold = _sharded_lm_fold(
+            self.mesh, self.ctx, self.active_local // (4 * self.tile), self.use_pallas
+        )
+        self.buf = fold(self.buf, rl)
+        self.active_local //= 2
+        return self.buf
+
+    def final_values(self) -> list[Fp]:
+        if self._inner is not None:
+            return self._inner.final_values()
+        rem = self._gather_remainder()
+        assert rem.shape[1] == 1
+        return [limbs_to_fp(rem[i, 0], self.cfg) for i in range(rem.shape[0])]
+
+
+def make_sharded_executor(cfg: FieldConfig, tables, degree: int, comb, mesh: Mesh):
+    """Best sharded tier for the shape: limb-major MXU executor when the
+    term structure and field width support it AND the per-device block is
+    large enough to pay for the layout, else the XLA-body executor."""
+    from ..sumcheck.mxu_exec import TILE, mxu_supported
+
+    idx_terms = tuple(tuple(idxs) for _, idxs in comb)
+    b = tables.shape[1]
+    d = mesh.size
+    if (
+        mxu_supported(idx_terms, cfg.n16)
+        and b % d == 0
+        and (b // d) >= 4 * TILE
+        and (b // d) & ((b // d) - 1) == 0
+    ):
+        return ShardedLmSumcheckExecutor(cfg, tables, degree, comb, mesh)
+    return ShardedSumcheckExecutor(cfg, tables, degree, comb, mesh)
+
+
 class ShardedSumcheckExecutor:
     """Drop-in for DeviceSumcheckExecutor with the 2^nv axis mesh-sharded.
 

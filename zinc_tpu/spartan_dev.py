@@ -110,9 +110,9 @@ def spartan_prove_device(
             )
             return proof, randomness, [m[0] for m in mles]
         if mesh is not None:
-            from .parallel.sumcheck import ShardedSumcheckExecutor
+            from .parallel.sumcheck import make_sharded_executor
 
-            ex = ShardedSumcheckExecutor(cfg, tables, degree, comb, mesh)
+            ex = make_sharded_executor(cfg, tables, degree, comb, mesh)
         else:
             from .sumcheck.device import make_executor as _make
 

@@ -184,6 +184,21 @@ def _static_toeplitz(ctx: DeviceField):
     return tmt.astype(ml_dtypes.bfloat16), tqt.astype(ml_dtypes.bfloat16)
 
 
+def _one_minus_limbs(ctx: DeviceField, r: jnp.ndarray) -> jnp.ndarray:
+    """â = (1̂ − r̂) mod q on (l,) canonical Montgomery limbs (traced)."""
+    from ..fields.limbs import add_limbs, cond_sub, sub_limbs
+
+    qr, _ = sub_limbs(jnp.asarray(ctx.q), r)  # q − r̂, no borrow (r̂ < q)
+    a = add_limbs(jnp.asarray(ctx.one), qr, out_limbs=ctx.n16 + 1)
+    return cond_sub(a, jnp.asarray(ctx.q_wide))[: ctx.n16]
+
+
+def _rr_toeplitz(a: jnp.ndarray, r: jnp.ndarray, l: int) -> jnp.ndarray:
+    """Stacked fold matrix trt2 (4l, 4l) = [T(â) | T(r̂)]: columns 0..2l−1
+    multiply v0's byte planes by â, columns 2l..4l−1 multiply v1's by r̂."""
+    return jnp.concatenate([_r_toeplitz(a, l), _r_toeplitz(r, l)], axis=1)
+
+
 def _r_toeplitz(r: jnp.ndarray, l: int) -> jnp.ndarray:
     """trt (4l, 2l) bf16 from the (traced) challenge limbs; input rows are
     _split8_B of d: trt[k, r] = r8[k − pos_split8(r)]."""
@@ -219,6 +234,35 @@ def _scalar_mont_mul_mxu(kctx, d, trt, tmt, tqt):
     u16 = _combine8_T(_u32(u8) + t8)  # (2l, W) lazy ≤ 2^30
     s = _carry_sweep_T(u16, 2 * l + 2)
     res = _cond_sub_T(s[l : 2 * l + 1], kctx.q_wide[:, None])
+    return res[:l]
+
+
+def _scalar_fold_mxu(kctx, v0, v1, trt2, tmt, tqt):
+    """Fused fold v0 + mont_mul(r, v1 − v0) as ONE shared REDC chain.
+
+    Identity: with r̂ the challenge's Montgomery representation and
+    â = (1̂ − r̂) mod q, the fold value equals REDC(â·v0 + r̂·v1): both are
+    the canonical residue of v0 + r̂·R⁻¹·(v1 − v0).  The combined product
+    t = â·v0 + r̂·v1 rides in as one banded matmul against the stacked
+    Toeplitz `trt2` = [T(â) | T(r̂)] (per-column sums ≤ (4l+2)·255² < 2^23,
+    f32-exact), and the v2 chain's separate mont_sub (2 sweeps) and
+    mont_add (2 sweeps) vanish — 7 Kogge-Stone sweeps per block → 4.
+
+    Bound: u = (t + m·q)/R ≤ q + 2(q−1)²/R < 3q for ANY q < R (when
+    q ≤ R/2 even u < 2q), so two conditional subtractions canonicalize.
+    """
+    l = kctx.n16
+    d8 = jnp.concatenate([_split8_B(v0), _split8_B(v1)], axis=0)  # (4l, W)
+    t8 = _u32(jnp.dot(trt2, _bf16(d8), preferred_element_type=jnp.float32))  # (4l, W)
+    t_bytes = _bf16(_bytes3_pos_B(t8[: 2 * l]))  # (6l, W)
+    m8 = jnp.dot(tmt, t_bytes, preferred_element_type=jnp.float32)
+    m16 = _combine8_T(_u32(m8))
+    m = _carry_sweep_T(m16, l)  # sweep 1
+    u8 = jnp.dot(tqt, _bf16(_split8_B(m)), preferred_element_type=jnp.float32)
+    u16 = _combine8_T(_u32(u8) + t8)
+    s = _carry_sweep_T(u16, 2 * l + 2)  # sweep 2
+    res = _cond_sub_T(s[l : 2 * l + 1], kctx.q_wide[:, None])  # sweep 3
+    res = _cond_sub_T(res, kctx.q_wide[:, None])  # sweep 4
     return res[:l]
 
 
@@ -489,12 +533,12 @@ def _fold_lm(ctx: DeviceField, buf: jnp.ndarray, r: jnp.ndarray, nbh):
     """In-place MXU fold: lanes [0, act/2) ← v0 + r·(v1 − v0) where v0/v1
     are the two halves of the active prefix.  nbh = (act/2)//(2·TILE) is
     both the grid size and the (scalar-prefetched) block offset of the
-    second half."""
+    second half.  v3 chain: one fused REDC per block (_scalar_fold_mxu)."""
     n_mles, l, b_max = buf.shape
     w = 2 * TILE
     tmt_np, tqt_np = _static_toeplitz(ctx)
     tmt, tqt = jnp.asarray(tmt_np), jnp.asarray(tqt_np)
-    trt = _r_toeplitz(r, l)
+    trt2 = _rr_toeplitz(_one_minus_limbs(ctx, r), r, l)
 
     def kernel(s_ref, *refs):
         kctx = _unpack_ctx(refs[:5], ctx)
@@ -502,12 +546,8 @@ def _fold_lm(ctx: DeviceField, buf: jnp.ndarray, r: jnp.ndarray, nbh):
         trt_r, tmt_r, tqt_r = refs[7], refs[8], refs[9]
         o_ref = refs[10]
         for i in range(n_mles):
-            v0 = a_ref[i]
-            v1 = b_ref[i]
-            d = _mont_sub_T(kctx, v1, v0)
-            o_ref[i] = _mont_add_T(
-                kctx, v0,
-                _scalar_mont_mul_mxu(kctx, d, trt_r[:], tmt_r[:], tqt_r[:]),
+            o_ref[i] = _scalar_fold_mxu(
+                kctx, a_ref[i], b_ref[i], trt_r[:], tmt_r[:], tqt_r[:]
             )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -516,7 +556,7 @@ def _fold_lm(ctx: DeviceField, buf: jnp.ndarray, r: jnp.ndarray, nbh):
         in_specs=_const_specs_s(l) + [
             pl.BlockSpec((n_mles, l, w), lambda i, s: (0, 0, i)),
             pl.BlockSpec((n_mles, l, w), lambda i, s: (0, 0, i + s[0])),
-            pl.BlockSpec(trt.shape, lambda i, s: (0, 0)),
+            pl.BlockSpec(trt2.shape, lambda i, s: (0, 0)),
             pl.BlockSpec(tmt.shape, lambda i, s: (0, 0)),
             pl.BlockSpec(tqt.shape, lambda i, s: (0, 0)),
         ],
@@ -527,7 +567,7 @@ def _fold_lm(ctx: DeviceField, buf: jnp.ndarray, r: jnp.ndarray, nbh):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_mles, l, b_max), jnp.uint32),
         input_output_aliases={6: 0},
-    )(jnp.asarray([nbh], jnp.int32), *_ctx_consts(ctx), buf, buf, trt, tmt, tqt)
+    )(jnp.asarray([nbh], jnp.int32), *_ctx_consts(ctx), buf, buf, trt2, tmt, tqt)
 
 
 def _g_out_specs_s(terms, l: int):
@@ -616,6 +656,66 @@ def _eval_lm(ctx: DeviceField, buf: jnp.ndarray, terms, nbh):
         grid_spec=grid_spec,
         out_shape=_g_out_shapes(terms, l),
     )(jnp.asarray([nbh], jnp.int32), *_ctx_consts(ctx), buf, buf)
+
+
+# ---------------------------------------------------------------------------
+# XLA twins of the limb-major kernels — same math, no Mosaic.
+#
+# These run the identical limb/REDC/byte-plane algebra as plain jitted XLA,
+# so they (a) execute on CPU, pinning the MXU tier's values against the host
+# oracle in the default suite, and (b) serve as the portable round body for
+# the SHARDED limb-major executor (parallel/sumcheck.py), whose shard_map
+# code path must run on the virtual CPU mesh.  Byte-plane accumulation
+# mirrors the pallas blocking exactly (per-TILE dots, i32 plane sums), so G
+# arrays — not just decoded evals — are bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def _kctx_plain(ctx: DeviceField):
+    from ..ops.pallas_field import _KCtx
+    return _KCtx(
+        q=jnp.asarray(ctx.q), nprime=jnp.asarray(ctx.nprime),
+        r2=jnp.asarray(ctx.r2), one=jnp.asarray(ctx.one),
+        q_wide=jnp.asarray(ctx.q_wide), n16=ctx.n16, modulus=ctx.modulus,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
+def fold_lm_ref(ctx: DeviceField, buf: jnp.ndarray, r: jnp.ndarray, nbh: int):
+    """XLA twin of :func:`_fold_lm` (identical fold values)."""
+    n_mles, l, _ = buf.shape
+    w = nbh * 2 * TILE
+    kctx = _kctx_plain(ctx)
+    tmt_np, tqt_np = _static_toeplitz(ctx)
+    tmt, tqt = jnp.asarray(tmt_np), jnp.asarray(tqt_np)
+    trt2 = _rr_toeplitz(_one_minus_limbs(ctx, r), r, l)
+    out = jnp.stack(
+        [
+            _scalar_fold_mxu(
+                kctx, buf[i, :, :w], buf[i, :, w : 2 * w], trt2, tmt, tqt
+            )
+            for i in range(n_mles)
+        ]
+    )
+    return buf.at[:, :, :w].set(out)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def eval_lm_ref(ctx: DeviceField, buf: jnp.ndarray, terms, nbh: int):
+    """XLA twin of :func:`_eval_lm` (bit-identical G byte planes)."""
+    n_mles, l, _ = buf.shape
+    kctx = _kctx_plain(ctx)
+    half = nbh * TILE
+    a = buf[:, :, :half].reshape(n_mles, l, nbh, TILE)
+    b = buf[:, :, half : 2 * half].reshape(n_mles, l, nbh, TILE)
+    a = jnp.moveaxis(a, 2, 0)  # (nbh, n_mles, l, TILE)
+    b = jnp.moveaxis(b, 2, 0)
+
+    def block(ab):
+        return _eval_terms_lm(kctx, ab[0], ab[1], terms, l)
+
+    gs = jax.vmap(block)((a, b))  # list of (nbh, 2npj, 3, 2l, prow)
+    return tuple(g.sum(axis=0, dtype=jnp.int32) for g in gs)
 
 
 # ---------------------------------------------------------------------------

@@ -26,3 +26,21 @@ if not os.environ.get("ZINC_TPU_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between modules.
+
+    The suite compiles hundreds of XLA:CPU programs (the device-FS sumcheck
+    twins alone are megabytes of JIT code); keeping them all live has
+    produced segfaults inside later LLVM compiles (heap/JIT-memory
+    exhaustion territory).  Per-module cache clears bound the resident JIT
+    state at a small recompile cost."""
+    yield
+    import jax
+
+    jax.clear_caches()

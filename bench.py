@@ -56,16 +56,39 @@ def _device_round_ms(cfg, n_mles: int, b: int, degree: int, idx_terms, iters: in
         # rounds (each consumes the previous round's donated buffer) and
         # differencing two chain lengths, which cancels the host↔device
         # sync floor (~33 ms over the axon tunnel) and the buffer copy.
-        from zinc_tpu.sumcheck.mxu_exec import TILE, _eval_lm, _fold_lm, term_meta
+        from zinc_tpu.sumcheck.mxu_exec import (
+            TILE,
+            _eval_lm,
+            _eval_lm_gruen,
+            _fold_lm,
+            gruen_supported,
+            gruen_term_meta,
+            term_meta,
+        )
 
-        terms = term_meta(idx_terms)
         nbh = b // (4 * TILE)
 
         import jax.numpy as jnp
 
+        # Since round 3 the production Spartan sumcheck-1 runs the Gruen
+        # eq-factorized tier (sumcheck/device_fs.py): the eq MLE leaves the
+        # fold (n_mles−1 tables) and the evaluation contracts against the
+        # precomputed suffix-eq level — measure exactly that round.
+        eq_idx = n_mles - 1
+        gruen = gruen_supported(idx_terms, eq_idx, l16)
         # bit-reversed limb-major buffer (the production layout; see
         # sumcheck/mxu_exec.py) — lane values are random either way
-        tables_lm = jax.device_put(np.transpose(tables, (0, 2, 1)).copy())
+        n_fold = n_mles - 1 if gruen else n_mles
+        tables_lm = jax.device_put(
+            np.transpose(tables[:n_fold], (0, 2, 1)).copy()
+        )
+        if gruen:
+            gterms = gruen_term_meta(idx_terms, eq_idx)
+            e_flat = jax.device_put(
+                rng.integers(0, 1 << 16, (l16, b), dtype=np.uint32)
+            )
+        else:
+            terms = term_meta(idx_terms)
 
         def chain_s(k: int) -> float:
             t0 = time.perf_counter()
@@ -73,7 +96,13 @@ def _device_round_ms(cfg, n_mles: int, b: int, degree: int, idx_terms, iters: in
             gs = None
             for _ in range(k):
                 buf = _fold_lm(ctx, buf, r_d, nbh)
-                gs = _eval_lm(ctx, buf, terms, nbh)
+                if gruen:
+                    gs = _eval_lm_gruen(
+                        ctx, buf, e_flat, gterms,
+                        jnp.asarray(nbh, jnp.int32), jnp.asarray(0, jnp.int32),
+                    )
+                else:
+                    gs = _eval_lm(ctx, buf, terms, nbh)
             np.asarray(gs[0])  # one fetch closes the whole chain
             return time.perf_counter() - t0
 

@@ -291,3 +291,73 @@ def test_blake3_merkle_on_chip_matches_host():
     root = np.asarray(layers[-1][0, 0]).astype("<u4").tobytes()
     tree = MerkleTree.from_leaves(6, [int_to_leaf_bytes(v, 2) for v in vals])
     assert root == tree.root
+
+
+@requires_tpu
+def test_gruen_eval_pallas_matches_twin():
+    """Pallas Gruen evaluation == XLA twin, bit-identical G byte planes."""
+    import jax.numpy as jnp
+
+    from zinc_tpu.poly.device import fps_to_limbs
+    from zinc_tpu.sumcheck.mxu_exec import (
+        TILE as MT,
+        _eval_lm_gruen,
+        _to_lm,
+        build_eq_suffix_flat,
+        eval_lm_gruen_ref,
+        gruen_term_meta,
+    )
+
+    cfg, ctx = _cfg_ctx()
+    nv = 12
+    _, tabs = _rand_tables(cfg, 3, 1 << nv, 21)
+    pr = random.Random(22)
+    beta = [cfg.fp(pr.randrange(cfg.q)) for _ in range(nv)]
+    e_flat = build_eq_suffix_flat(ctx, jnp.asarray(fps_to_limbs(beta, cfg)), nv)
+    terms = gruen_term_meta(((0, 1, 3), (2, 3)), 3)
+    buf = _to_lm(tabs, 1 << nv)
+    nbh = (1 << nv) // (2 * MT)
+    for e_off in (0, nbh):
+        gp = _eval_lm_gruen(
+            ctx, buf, e_flat, terms,
+            jnp.asarray(nbh, jnp.int32), jnp.asarray(e_off, jnp.int32),
+        )
+        gt = eval_lm_gruen_ref(ctx, buf, e_flat, terms, nbh, e_off)
+        for a, b in zip(gp, gt):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@requires_tpu
+def test_device_fs_gruen_on_chip_byte_identity():
+    """Full Gruen FS sumcheck on the chip == host prover bytes."""
+    import jax.numpy as jnp
+
+    from zinc_tpu.poly.device import fps_to_limbs
+    from zinc_tpu.poly.mle import DenseMleF, build_eq_x_r
+    from zinc_tpu.sumcheck.device_fs import prove_as_subprotocol_device_fs
+    from zinc_tpu.sumcheck.prover import prove_as_subprotocol
+    from zinc_tpu.transcript import KeccakTranscript
+
+    cfg, _ = _cfg_ctx()
+    nv = 12
+    mles, tabs = _rand_tables(cfg, 3, 1 << nv, 23)
+    pr = random.Random(24)
+    beta = [cfg.fp(pr.randrange(cfg.q)) for _ in range(nv)]
+    eq_tab = build_eq_x_r(beta, cfg).evaluations
+    comb = [(cfg.one(), (0, 1, 3)), (-cfg.one(), (2, 3))]
+
+    th = KeccakTranscript()
+    ph, sh = prove_as_subprotocol(
+        th,
+        [DenseMleF(nv, list(m), cfg) for m in mles]
+        + [DenseMleF(nv, list(eq_tab), cfg)],
+        nv, 3, comb, cfg,
+    )
+    td = KeccakTranscript()
+    pd, rd, md = prove_as_subprotocol_device_fs(
+        td, cfg, tabs, nv, 3, comb, eq_beta=beta
+    )
+    assert pd == ph
+    assert rd == sh.randomness
+    assert [m[0] for m in md] == [m.evaluations[0] for m in sh.mles]
+    assert th.h.digest() == td.h.digest()

@@ -47,9 +47,10 @@ def z_to_device(cfg: FieldConfig, z_ccs: list[int]) -> jnp.ndarray:
     return ints_to_field_device(cfg, z_ccs)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _sc1_setup(ctx, n_rows: int, mats, z_f, beta_l):
-    """One launch: Mz per matrix + eq(β) table + stack — (t+1, m, L)."""
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def _sc1_setup(ctx, n_rows: int, mats, z_f, beta_l, with_eq: bool = True):
+    """One launch: Mz per matrix (+ eq(β) table unless the Gruen kernel
+    will factor eq out — sumcheck/device_fs.py) — (t[+1], m, L)."""
     from .ops.sparse import _segmented_matvec
     from .poly.device import _eq_table_device
 
@@ -57,6 +58,8 @@ def _sc1_setup(ctx, n_rows: int, mats, z_f, beta_l):
         _segmented_matvec(ctx, vals, cols, row_ends, z_f)
         for vals, cols, row_ends in mats
     ]
+    if not with_eq:
+        return jnp.stack(mz)
     eq_beta = _eq_table_device(ctx, beta_l)
     return jnp.concatenate([jnp.stack(mz), eq_beta[None]], axis=0)
 
@@ -96,7 +99,7 @@ def spartan_prove_device(
     ctx = device_field(cfg)
     c_f = [cfg.fp(ci) for ci in ccs.c]
 
-    def run_sumcheck(tables, nvars, degree, comb):
+    def run_sumcheck(tables, nvars, degree, comb, eq_beta=None):
         """(proof, randomness, final_values) with the best available driver:
         device-resident Fiat-Shamir (one sync per sumcheck) when unsharded,
         else the per-round executor."""
@@ -106,7 +109,7 @@ def spartan_prove_device(
             from .sumcheck.device_fs import prove_as_subprotocol_device_fs
 
             proof, randomness, mles = prove_as_subprotocol_device_fs(
-                transcript, cfg, tables, nvars, degree, comb
+                transcript, cfg, tables, nvars, degree, comb, eq_beta=eq_beta
             )
             return proof, randomness, [m[0] for m in mles]
         if mesh is not None:
@@ -123,7 +126,19 @@ def spartan_prove_device(
     from .utils.timing import timed
 
     # ---- sumcheck 1 -------------------------------------------------------
+    import os as _os
+
     beta_s = squeeze_beta_challenges(transcript, ccs.s, cfg)
+    eq_idx = len(dstatement.matrices)
+    comb1 = [(ci, tuple(ccs.S[i]) + (eq_idx,)) for i, ci in enumerate(c_f) if not ci.is_zero()]
+    from .sumcheck.device_fs import wants_gruen
+
+    gruen1 = (
+        mesh is None
+        and not _os.environ.get("ZINC_TPU_NO_DEVICE_FS")
+        and not _os.environ.get("ZINC_TPU_NO_GRUEN")
+        and wants_gruen(cfg, comb1, eq_idx, ccs.m)
+    )
     with timed("spartan.sc1_setup"):
         tables = _sc1_setup(
         ctx,
@@ -131,12 +146,13 @@ def spartan_prove_device(
         tuple((m.vals, m.cols_idx, m.row_ends) for m in dstatement.matrices),
         z_f,
         jnp.asarray(fps_to_limbs(beta_s, cfg)),
+        not gruen1,
     )
         np.asarray(tables[:, :1, :1])  # tiny fetch: waits for the enqueued setup
-    eq_idx = len(dstatement.matrices)
-    comb1 = [(ci, tuple(ccs.S[i]) + (eq_idx,)) for i, ci in enumerate(c_f) if not ci.is_zero()]
     with timed("spartan.sumcheck1"):
-        proof1, r_x, finals1 = run_sumcheck(tables, ccs.s, ccs.d + 1, comb1)
+        proof1, r_x, finals1 = run_sumcheck(
+            tables, ccs.s, ccs.d + 1, comb1, eq_beta=beta_s if gruen1 else None
+        )
     v_s = finals1[: len(dstatement.matrices)]
 
     # ---- sumcheck 2 -------------------------------------------------------

@@ -82,6 +82,167 @@ def _digest_to_value_limbs(d: jnp.ndarray, qbits: int, l16: int) -> jnp.ndarray:
     return value
 
 
+def _make_fs_step(ctx: DeviceField, cfg_key, degree: int, l: int):
+    """Shared Fiat-Shamir round step: absorb evals → squeeze+ratchet →
+    challenge r (absorbed) — dynamic-position sponge (one trace serves
+    every round).  Used by both the classic and the Gruen FS kernels."""
+    from ..fields.montgomery import mont_mul
+    from ..ops.keccak_kernel import absorb_dyn, digest_dyn
+
+    qbits, cfg = cfg_key.qbits, cfg_key.cfg
+    r2 = jnp.asarray(ctx.r2)
+    n_points = degree + 1
+
+    def fs_step(lanes, sbuf, pos, evals):
+        frames = [_field_frame(cfg, evals[p]) for p in range(n_points)]
+        lanes, sbuf, pos = absorb_dyn(lanes, sbuf, pos, jnp.concatenate(frames))
+        d = digest_dyn(lanes, sbuf, pos)
+        ratchet = jnp.concatenate(
+            [jnp.zeros(1, jnp.uint8), d, jnp.full(1, 1, jnp.uint8)]
+        )
+        lanes, sbuf, pos = absorb_dyn(lanes, sbuf, pos, ratchet)
+        value = _digest_to_value_limbs(d, qbits, l)
+        r = mont_mul(ctx, value, r2)  # cfg.fp(value): to Montgomery form
+        lanes, sbuf, pos = absorb_dyn(lanes, sbuf, pos, _field_frame(cfg, r))
+        return lanes, sbuf, pos, r
+
+    return fs_step
+
+
+@partial(jax.jit, static_argnums=(0, 3, 6, 7, 8, 9, 10, 11))
+def _sumcheck_fs_kernel_gruen(
+    ctx: DeviceField,
+    buf: jnp.ndarray,  # (n_tabs, B, L) — WITHOUT the eq MLE
+    beta: jnp.ndarray,  # (nvars, L) Montgomery limbs of β
+    cfg_key,  # _StaticCfg
+    coeffs: jnp.ndarray,
+    sponge_state,
+    pos0: int,
+    degree: int,
+    idx_terms: tuple,  # full comb indices; eq_idx == n_tabs as last of each
+    kinds: tuple,
+    n_dev_rounds: int,
+    use_pallas: bool,
+):
+    """Gruen eq-factorized device-FS sumcheck (sumcheck/mxu_exec.py §Gruen).
+
+    The eq MLE never rides the fold: round j evaluates
+    s_j(t) = pref_j · c_j(t) · Σ_i coeff_i · h_{i,j}(t) against the
+    precomputed suffix-eq level E_j, with pref ratcheted per round by
+    eq(β_j, r_j).  Transcript bytes are identical to the classic kernel
+    (same s_j values, same framing).  Returns the folded buffer WITH the
+    eq row reconstructed (pref · E_level) so callers — the host tail and
+    final-values paths — are oblivious to the factorization."""
+    from .mxu_exec import (
+        TILE as MTILE,
+        _eval_lm_gruen,
+        _fold_lm,
+        _from_lm,
+        _to_lm,
+        build_eq_suffix_flat,
+        eq_factor,
+        eval_lm_gruen_ref,
+        fold_lm_ref,
+        gruen_g_to_evals_device,
+        gruen_term_meta,
+        suffix_offsets,
+    )
+
+    n_tabs, b_total, l = buf.shape
+    nvars = beta.shape[0]
+    eq_idx = n_tabs
+    gterms = gruen_term_meta(idx_terms, eq_idx)
+    n_points = degree + 1
+    lanes, sbuf = sponge_state
+    pos = jnp.asarray(pos0, jnp.int32)
+    fs_step = _make_fs_step(ctx, cfg_key, degree, l)
+
+    # Every device round is an MXU-tier round: n_dev stops at eval size
+    # < 2·TILE ⇔ act < 4·TILE, the same bound as the fold kernel's grid.
+    n_mxu = 1
+    a = b_total
+    while n_mxu < n_dev_rounds and a >= 4 * MTILE:
+        n_mxu += 1
+        a //= 2
+    assert n_mxu == n_dev_rounds and n_mxu >= 2, (n_mxu, n_dev_rounds)
+
+    e_flat = build_eq_suffix_flat(ctx, beta, nvars)  # (l, 2^nvars)
+    buf_lm = _to_lm(buf, b_total)
+    offs = suffix_offsets(nvars)
+
+    evals_arr = jnp.zeros((n_dev_rounds, n_points, l), jnp.uint32)
+    rs_arr = jnp.zeros((n_dev_rounds, l), jnp.uint32)
+    pref = jnp.asarray(ctx.one)
+
+    # round 0 (j = 1): evaluation only; E_1 sits at lane offset 0
+    if use_pallas:
+        gs = _eval_lm_gruen(
+            ctx, buf_lm, e_flat, gterms,
+            jnp.asarray(b_total // (2 * MTILE), jnp.int32),
+            jnp.asarray(0, jnp.int32),
+        )
+    else:
+        gs = eval_lm_gruen_ref(ctx, buf_lm, e_flat, gterms, b_total // (2 * MTILE), 0)
+    evals = gruen_g_to_evals_device(ctx, gs, coeffs, gterms, degree, beta[0], pref)
+    lanes, sbuf, pos, r = fs_step(lanes, sbuf, pos, evals)
+    evals_arr = evals_arr.at[0].set(evals)
+    rs_arr = rs_arr.at[0].set(r)
+
+    # rounds 1..n_mxu−1: identical structure → ONE fori_loop trace (pallas)
+    if use_pallas:
+        def loop_body(i, state):
+            buf_lm, act, lanes, sbuf, pos, r, pref, evals_arr, rs_arr = state
+            b_prev = jax.lax.dynamic_slice(beta, (i - 1, jnp.int32(0)), (1, l))[0]
+            pref = mont_mul(ctx, pref, eq_factor(ctx, b_prev, r))
+            buf_lm = _fold_lm(ctx, buf_lm, r, act // (4 * MTILE))
+            act = act // 2
+            gs = _eval_lm_gruen(
+                ctx, buf_lm, e_flat, gterms,
+                act // (2 * MTILE), (b_total - act) // MTILE,
+            )
+            b_j = jax.lax.dynamic_slice(beta, (i, jnp.int32(0)), (1, l))[0]
+            evals = gruen_g_to_evals_device(ctx, gs, coeffs, gterms, degree, b_j, pref)
+            lanes, sbuf, pos, r = fs_step(lanes, sbuf, pos, evals)
+            evals_arr = jax.lax.dynamic_update_slice(
+                evals_arr, evals[None], (i, jnp.int32(0), jnp.int32(0))
+            )
+            rs_arr = jax.lax.dynamic_update_slice(rs_arr, r[None], (i, jnp.int32(0)))
+            return buf_lm, act, lanes, sbuf, pos, r, pref, evals_arr, rs_arr
+
+        state = (buf_lm, jnp.asarray(b_total, jnp.int32), lanes, sbuf, pos, r,
+                 pref, evals_arr, rs_arr)
+        state = jax.lax.fori_loop(1, n_mxu, loop_body, state)
+        buf_lm, _, lanes, sbuf, pos, r, pref, evals_arr, rs_arr = state
+    else:
+        act = b_total
+        for i in range(1, n_mxu):
+            pref = mont_mul(ctx, pref, eq_factor(ctx, beta[i - 1], r))
+            buf_lm = fold_lm_ref(ctx, buf_lm, r, act // (4 * MTILE))
+            act //= 2
+            gs = eval_lm_gruen_ref(
+                ctx, buf_lm, e_flat, gterms,
+                act // (2 * MTILE), (b_total - act) // MTILE,
+            )
+            evals = gruen_g_to_evals_device(
+                ctx, gs, coeffs, gterms, degree, beta[i], pref
+            )
+            lanes, sbuf, pos, r = fs_step(lanes, sbuf, pos, evals)
+            evals_arr = evals_arr.at[i].set(evals)
+            rs_arr = rs_arr.at[i].set(r)
+
+    # Reconstruct the folded eq row for the caller: after n_mxu−1 folds the
+    # classic eq table equals pref_{n_mxu} · E_{n_mxu−1} (lanes align — both
+    # bit-reversed over the same suffix variables).
+    active = b_total >> (n_mxu - 1)
+    lvl = jax.lax.slice_in_dim(e_flat, int(offs[n_mxu - 2]),
+                               int(offs[n_mxu - 2]) + active, axis=1)
+    eq_lm = jax.vmap(lambda col: mont_mul(ctx, pref, col), in_axes=1, out_axes=1)(lvl)
+    out = jnp.concatenate(
+        [_from_lm(buf_lm, active), _from_lm(eq_lm[None], active)], axis=0
+    )
+    return out, evals_arr, rs_arr, lanes, sbuf
+
+
 @partial(jax.jit, static_argnums=(0, 2, 5, 6, 7, 8, 9, 10))
 def _sumcheck_fs_kernel(
     ctx: DeviceField,
@@ -113,29 +274,11 @@ def _sumcheck_fs_kernel(
         term_meta,
     )
 
-    from ..ops.keccak_kernel import absorb_dyn, digest_dyn
-
     l = buf.shape[2]
     lanes, sbuf = sponge_state
-    qbits, cfg = cfg_key.qbits, cfg_key.cfg
-    r2 = jnp.asarray(ctx.r2)
     pos = jnp.asarray(pos0, jnp.int32)
     n_points = degree + 1
-
-    def fs_step(lanes, sbuf, pos, evals):
-        """Absorb evals → squeeze+ratchet → challenge r (absorbed) —
-        dynamic-position sponge, so one trace serves every round."""
-        frames = [_field_frame(cfg, evals[p]) for p in range(n_points)]
-        lanes, sbuf, pos = absorb_dyn(lanes, sbuf, pos, jnp.concatenate(frames))
-        d = digest_dyn(lanes, sbuf, pos)
-        ratchet = jnp.concatenate(
-            [jnp.zeros(1, jnp.uint8), d, jnp.full(1, 1, jnp.uint8)]
-        )
-        lanes, sbuf, pos = absorb_dyn(lanes, sbuf, pos, ratchet)
-        value = _digest_to_value_limbs(d, qbits, l)
-        r = mont_mul(ctx, value, r2)  # cfg.fp(value): to Montgomery form
-        lanes, sbuf, pos = absorb_dyn(lanes, sbuf, pos, _field_frame(cfg, r))
-        return lanes, sbuf, pos, r
+    fs_step = _make_fs_step(ctx, cfg_key, degree, l)
 
     active = buf.shape[1]
     use_mxu = use_pallas and mxu_supported(idx_terms, l)
@@ -233,6 +376,16 @@ class _StaticCfg:
         return isinstance(other, _StaticCfg) and self.cfg.q == other.cfg.q
 
 
+def wants_gruen(cfg: FieldConfig, comb, eq_idx: int, b: int) -> bool:
+    """True when the Gruen eq-factorized FS kernel will drive this shape:
+    every term carries eq last with 1-2 other factors, 256-bit field, and
+    the table is large enough that every device round is an MXU round."""
+    from .mxu_exec import TILE as MTILE, gruen_supported
+
+    idx_terms = tuple(tuple(idxs) for _, idxs in comb)
+    return gruen_supported(idx_terms, eq_idx, cfg.n16) and b >= 4 * MTILE
+
+
 def prove_as_subprotocol_device_fs(
     transcript: KeccakTranscript,
     cfg: FieldConfig,
@@ -240,6 +393,9 @@ def prove_as_subprotocol_device_fs(
     nvars: int,
     degree: int,
     comb,
+    eq_beta=None,  # list[Fp] | None — when given, `tables` EXCLUDES the eq
+    #              MLE (comb references it as index n_mles) and the Gruen
+    #              kernel factors it out of the fold entirely
 ):
     """Transcript-identical sumcheck with device-resident Fiat-Shamir.
 
@@ -277,12 +433,25 @@ def prove_as_subprotocol_device_fs(
     buf = jnp.asarray(tables)
     active = b
 
+    gruen = eq_beta is not None
+    if gruen:
+        assert wants_gruen(cfg, comb, tables.shape[0], b) and n_dev >= 2, (
+            "caller must gate the Gruen path on wants_gruen()"
+        )
+
     if n_dev:
         sp = DeviceSponge.from_host(transcript.h)
-        out = _sumcheck_fs_kernel(
-            ctx, buf, _StaticCfg(cfg), coeffs, (sp.lanes, sp.buf), sp.pos,
-            degree, idx_terms, kinds, n_dev, use_pallas,
-        )
+        if gruen:
+            beta_l = jnp.asarray(fps_to_limbs(eq_beta, cfg))
+            out = _sumcheck_fs_kernel_gruen(
+                ctx, buf, beta_l, _StaticCfg(cfg), coeffs, (sp.lanes, sp.buf),
+                sp.pos, degree, idx_terms, kinds, n_dev, use_pallas,
+            )
+        else:
+            out = _sumcheck_fs_kernel(
+                ctx, buf, _StaticCfg(cfg), coeffs, (sp.lanes, sp.buf), sp.pos,
+                degree, idx_terms, kinds, n_dev, use_pallas,
+            )
         buf, evals_dev, rs_dev, lanes, sbuf = out
         # the buffer position is fully static: absorb totals mod the rate
         frame = 2 * cfg.nbytes + 4

@@ -68,8 +68,12 @@ GCHUNK = 256  # G contraction chunk: 256·255² < 2^24 keeps f32 sums exact
 
 
 def mxu_supported(idx_terms, l16: int) -> bool:
-    """MXU path preconditions (fall back to the VPU executor otherwise)."""
-    return l16 <= 16 and all(2 <= len(t) <= 3 for t in idx_terms)
+    """MXU path preconditions (fall back to the VPU executor otherwise).
+
+    l16 must be exactly 16 (256-bit fields): term_meta's plane-row counts
+    and the _p_positions dispatch are derived from l = 16 (ADVICE r2 —
+    narrower fields would mis-dispatch, so they take the VPU tier)."""
+    return l16 == 16 and all(2 <= len(t) <= 3 for t in idx_terms)
 
 
 def term_meta(idx_terms) -> tuple:
@@ -656,6 +660,370 @@ def _eval_lm(ctx: DeviceField, buf: jnp.ndarray, terms, nbh):
         grid_spec=grid_spec,
         out_shape=_g_out_shapes(terms, l),
     )(jnp.asarray([nbh], jnp.int32), *_ctx_consts(ctx), buf, buf)
+
+
+# ---------------------------------------------------------------------------
+# Gruen eq-factorization (single-chip tier)
+#
+# Every Spartan sumcheck-1 term carries the SAME eq(β, ·) factor
+# (spartan.py comb1; reference prover combines it the same way,
+# /root/reference/src/spartan/prover.rs).  eq factors per round j as
+#
+#   s_j(t) = pref_j · c_j(t) · Σ_i coeff_i · h_{i,j}(t),
+#   h_{i,j}(t) = Σ_pairs E_j[pair] · Π_{m∈S_i} M_m(t, pair)
+#
+# with pref_j = Π_{k<j} eq(β_k, r_k) (a scalar ratcheted per round),
+# c_j(t) = (1−β_j)(1−t) + β_j·t (linear), and E_j the eq table over the
+# UNBOUND suffix variables — challenge-independent, so every level is
+# precomputed at setup.  Consequences for the kernels: the eq MLE leaves
+# the fold entirely (4 tables → 3: −25% fold traffic) and the eval's
+# bilinear split loses its Δe side (6 G dots per 3-factor term → 3).
+#
+# Suffix tables live in ONE flat limb-major buffer in bit-reversed lane
+# order.  Building bit-reversed is a pure CONCATENATION recurrence:
+# appending logical-LSB variable x_j = prepending a storage MSB, so
+# E_{j} = [(1−β_{j+1})·E_{j+1} ‖ β_{j+1}·E_{j+1}] — no interleaves, and
+# lane p of level j aligns exactly with eval pair p of round j.
+# ---------------------------------------------------------------------------
+
+
+def gruen_supported(idx_terms, eq_idx: int, l16: int) -> bool:
+    """Every term must carry eq as its last index; P side ≤ 2 factors."""
+    return l16 == 16 and all(
+        len(t) >= 2 and t[-1] == eq_idx and 1 <= len(t) - 1 <= 2 for t in idx_terms
+    )
+
+
+def gruen_term_meta(idx_terms, eq_idx: int) -> tuple:
+    """Static per-term metadata with eq stripped: (rest, npj, prow)."""
+    out = []
+    for idxs in idx_terms:
+        assert idxs[-1] == eq_idx
+        rest = tuple(idxs[:-1])
+        npj = 3 if len(rest) == 2 else 2
+        prow = 96 if len(rest) == 2 else 32
+        out.append((rest, npj, prow))
+    return tuple(out)
+
+
+def suffix_offsets(nvars: int) -> np.ndarray:
+    """Lane offset of level j (1-indexed round; entry [j−1]) in the flat
+    suffix buffer: E_1 at 0 (2^{n−1} lanes), then E_2, ..., E_n."""
+    offs = np.zeros(nvars, np.int64)
+    acc = 0
+    for j in range(1, nvars + 1):
+        offs[j - 1] = acc
+        acc += 1 << (nvars - j)
+    return offs
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def build_eq_suffix_flat(ctx: DeviceField, beta: jnp.ndarray, nvars: int) -> jnp.ndarray:
+    """(l, 2^nvars) flat limb-major suffix-eq buffer, bit-reversed lanes.
+
+    beta: (nvars, l) Montgomery limbs, beta[j−1] = β_j.  Levels are built
+    back-to-front: E_n = [1̂]; E_j = [(1̂−β̂_{j+1})·E_{j+1} ‖ β̂_{j+1}·E_{j+1}].
+    """
+    from ..fields.montgomery import mont_mul
+
+    l = ctx.n16
+    one = jnp.asarray(ctx.one)
+    levels = [None] * (nvars + 1)
+    levels[nvars] = one[:, None]  # E_n: one lane
+    for j in range(nvars - 1, 0, -1):
+        b = beta[j]  # β_{j+1} (0-indexed row j)
+        nb = _one_minus_limbs(ctx, b)  # (1̂ − β̂) mod q — exact mont subtraction
+        prev = levels[j + 1]  # (l, 2^{n−j−1})
+        lo = jax.vmap(lambda col: mont_mul(ctx, nb, col), in_axes=1, out_axes=1)(prev)
+        hi = jax.vmap(lambda col: mont_mul(ctx, b, col), in_axes=1, out_axes=1)(prev)
+        levels[j] = jnp.concatenate([lo, hi], axis=1)
+    flat = jnp.concatenate([levels[j] for j in range(1, nvars + 1)], axis=1)
+    pad = (1 << nvars) - flat.shape[1]
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((l, pad), jnp.uint32)], axis=1)
+    return flat
+
+
+def _eval_terms_gruen(kctx, e_blk, a_ref, b_ref, terms, l):
+    """Gruen G byte planes for one block: single (canonical E) e-side."""
+    v0c, v1c, dc = {}, {}, {}
+
+    def vv(i):
+        if i not in v0c:
+            v0c[i] = a_ref[i]
+            v1c[i] = b_ref[i]
+        return v0c[i], v1c[i]
+
+    def dd(i):
+        if i not in dc:
+            a, b = vv(i)
+            dc[i] = _mont_sub_T(kctx, b, a)
+        return dc[i]
+
+    e8 = _bf16(_split8_B(e_blk))
+    outs = []
+    for rest, npj, prow in terms:
+        if len(rest) == 1:
+            y0, y1 = vv(rest[0])
+            p_sides = [_bf16(_split8_B(y0)), _bf16(_split8_B(y1))]
+        else:
+            x0, x1 = vv(rest[0])
+            y0, y1 = vv(rest[1])
+            p_sides = [
+                _bf16(_bytes3_B(_mul_columns_T(x0, y0))),
+                _bf16(_bytes3_B(_mul_columns_T(x1, y1))),
+                _bf16(_bytes3_B(_mul_columns_T(dd(rest[0]), dd(rest[1])))),
+            ]
+        g_list = []
+        for pb in p_sides:
+            gi = _nt_dot_chunked(e8, pb)
+            g_list.append(jnp.stack([gi & 0xFF, (gi >> 8) & 0xFF, gi >> 16]))
+        outs.append(jnp.stack(g_list))  # (npj, 3, 2l, prow)
+    return outs
+
+
+def _gruen_g_shapes(terms, l: int):
+    return tuple(
+        jax.ShapeDtypeStruct((npj, 3, 2 * l, prow), jnp.int32)
+        for _, npj, prow in terms
+    )
+
+
+def _gruen_g_specs_s(terms, l: int):
+    return tuple(
+        pl.BlockSpec((npj, 3, 2 * l, prow), lambda i, s: (0, 0, 0, 0))
+        for _, npj, prow in terms
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _eval_lm_gruen(ctx: DeviceField, buf: jnp.ndarray, e_flat: jnp.ndarray,
+                   terms, nbh, e_off_blocks):
+    """Gruen evaluation: pairs = (first half, second half) of buf's active
+    prefix, weighted by the suffix level at block offset ``e_off_blocks``
+    (in TILE units) of the flat suffix buffer."""
+    n_mles, l, b_max = buf.shape
+
+    def kernel(s_ref, *refs):
+        kctx = _unpack_ctx(refs[:5], ctx)
+        a_ref, b_ref, e_ref = refs[5], refs[6], refs[7]
+        g_refs = refs[8:]
+        gs = _eval_terms_gruen(kctx, e_ref[:], a_ref[:], b_ref[:], terms, l)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for gr in g_refs:
+                gr[:] = jnp.zeros(gr.shape, jnp.int32)
+
+        for gr, g in zip(g_refs, gs):
+            gr[:] = gr[:] + g
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbh,),
+        in_specs=_const_specs_s(l) + [
+            pl.BlockSpec((n_mles, l, TILE), lambda i, s: (0, 0, i)),
+            pl.BlockSpec((n_mles, l, TILE), lambda i, s: (0, 0, i + s[0])),
+            pl.BlockSpec((l, TILE), lambda i, s: (0, i + s[1])),
+        ],
+        out_specs=_gruen_g_specs_s(terms, l),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=_gruen_g_shapes(terms, l),
+    )(
+        jnp.stack([jnp.asarray(nbh, jnp.int32), jnp.asarray(e_off_blocks, jnp.int32)]),
+        *_ctx_consts(ctx), buf, buf, e_flat,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def eval_lm_gruen_ref(ctx: DeviceField, buf: jnp.ndarray, e_flat: jnp.ndarray,
+                      terms, nbh: int, e_off_blocks: int | jnp.ndarray = 0):
+    """XLA twin of :func:`_eval_lm_gruen` (bit-identical G byte planes)."""
+    n_mles, l, _ = buf.shape
+    kctx = _kctx_plain(ctx)
+    half = nbh * TILE
+    a = jnp.moveaxis(buf[:, :, :half].reshape(n_mles, l, nbh, TILE), 2, 0)
+    b = jnp.moveaxis(buf[:, :, half : 2 * half].reshape(n_mles, l, nbh, TILE), 2, 0)
+    e = jax.lax.dynamic_slice_in_dim(e_flat, e_off_blocks * TILE, half, axis=1)
+    e = jnp.moveaxis(e.reshape(l, nbh, TILE), 1, 0)
+
+    def block(abe):
+        return _eval_terms_gruen(kctx, abe[2], abe[0], abe[1], terms, l)
+
+    gs = jax.vmap(block)((a, b, e))
+    return tuple(g.sum(axis=0, dtype=jnp.int32) for g in gs)
+
+
+def _gruen_point_weights(npj: int, degree: int) -> np.ndarray:
+    """w[t, j] = c_j(t) for the P basis {P(0), P(1)[, lead]}."""
+    w = np.zeros((degree + 1, npj), np.int64)
+    for t in range(degree + 1):
+        cj = [1 - t, t] + ([t * t - t] if npj == 3 else [])
+        for j in range(npj):
+            w[t, j] = cj[j]
+    return w
+
+
+def gruen_g_to_evals_host(
+    cfg: FieldConfig, g_arrays, comb, terms, degree: int,
+    beta_j: Fp, pref: Fp,
+) -> list[Fp]:
+    """Exact host decode of Gruen G planes → s_j(0..degree).
+
+    s_j(t) = pref · ((1−β_j)(1−t) + β_j·t) · Σ_i coeff_i·h_i(t)."""
+    l = cfg.n16
+    e_pos = _pos_split8(l)
+    h_evals = [cfg.zero() for _ in range(degree + 1)]
+    for (coeff, _idxs), (rest, npj, prow), g in zip(comb, terms, g_arrays):
+        g = np.asarray(g, np.int64)  # (npj, 3, 2l, prow)
+        vals = g[:, 0] + (g[:, 1] << 8) + (g[:, 2] << 16)
+        p_pos = _p_positions(npj, prow, l)
+        flat_pos = (e_pos[:, None] + p_pos[None, :]).ravel()
+        gi = []
+        for k in range(npj):
+            sums = np.bincount(flat_pos, weights=vals[k].ravel().astype(np.float64))
+            total = 0
+            for p, s in enumerate(sums):
+                total += int(s) << (8 * p)
+            gi.append(total)
+        w = _gruen_point_weights(npj, degree)
+        k_scale = len(rest) + 1
+        for t in range(degree + 1):
+            acc = 0
+            for j in range(npj):
+                acc += int(w[t, j]) * gi[j]
+            m = acc % cfg.q
+            for _ in range(k_scale - 1):
+                m = cfg.mont_mul(m, 1)
+            h_evals[t] = h_evals[t] + coeff * Fp(m, cfg)
+    one = cfg.one()
+    out = []
+    for t in range(degree + 1):
+        t_f = cfg.fp(t)
+        c_t = (one - beta_j) * (one - t_f) + beta_j * t_f
+        out.append(pref * c_t * h_evals[t])
+    return out
+
+
+@lru_cache(maxsize=64)
+def _w_mont_gruen_np(q: int, n16: int, npj: int, degree: int) -> np.ndarray:
+    """Montgomery-form limb constants of the Gruen point weights w[t,j]."""
+    from ..fields.limbs import int_to_limbs
+
+    radix = 1 << (16 * n16)
+    w = _gruen_point_weights(npj, degree)
+    out = np.zeros((degree + 1, npj, n16), np.uint32)
+    for t in range(degree + 1):
+        for j in range(npj):
+            out[t, j] = int_to_limbs((int(w[t, j]) * radix) % q, n16)
+    return out
+
+
+@lru_cache(maxsize=64)
+def _tconst_mont_np(q: int, n16: int, degree: int) -> np.ndarray:
+    """Montgomery limb constants of (1−t) mod q and t, t = 0..degree."""
+    from ..fields.limbs import int_to_limbs
+
+    radix = 1 << (16 * n16)
+    out = np.zeros((degree + 1, 2, n16), np.uint32)
+    for t in range(degree + 1):
+        out[t, 0] = int_to_limbs(((1 - t) * radix) % q, n16)
+        out[t, 1] = int_to_limbs((t * radix) % q, n16)
+    return out
+
+
+def gruen_g_to_evals_device(
+    ctx: DeviceField, g_arrays, comb_coeff_limbs, terms, degree: int,
+    beta_j: jnp.ndarray, pref: jnp.ndarray,
+):
+    """On-device Gruen decode: per-term G byte planes → (degree+1, L) round
+    evaluations in Montgomery form — device-FS twin of
+    :func:`gruen_g_to_evals_host`.  ``beta_j``/``pref`` are (L,) Montgomery
+    limbs of the round's β and the ratcheted prefix Π_{k<j} eq(β_k, r_k)."""
+    from ..fields.montgomery import mod_reduce_wide, mont_add, mont_mul
+
+    l = ctx.n16
+    onev = jnp.zeros((l,), jnp.uint32).at[0].set(1)
+    r2 = jnp.asarray(ctx.r2)
+    ssum = None  # Σ_i coeff_i·h_i(t): (degree+1, l) Montgomery
+    for term_i, ((rest, npj, prow), g) in enumerate(zip(terms, g_arrays)):
+        m_np, npos = _onehot_positions_np(npj, prow, l)
+        m = jnp.asarray(m_np)
+        flat = g.reshape(npj, 3, 2 * l * prow).astype(jnp.int32)
+        # 12-bit split keeps every f32 contraction exact (≤ 96·2^12 < 2^24)
+        lo = (flat & 0xFFF).astype(jnp.float32)
+        hi = (flat >> 12).astype(jnp.float32)
+        s_pl = (
+            jnp.einsum("kpm,mn->kpn", lo, m, precision="highest").astype(jnp.uint32)
+            + (jnp.einsum("kpm,mn->kpn", hi, m, precision="highest").astype(jnp.uint32) << 12)
+        )  # (npj, 3, npos) ≤ 2^25
+        by = _bytes_scan(s_pl)  # (npj, 3, npos+4) canonical bytes per plane
+        padded = jnp.concatenate([by, jnp.zeros((npj, 3, 2), jnp.uint32)], axis=-1)
+        lazy = (
+            padded[:, 0, :]
+            + jnp.roll(padded[:, 1, :], 1, axis=-1)
+            + jnp.roll(padded[:, 2, :], 2, axis=-1)
+        )
+        by2 = _bytes_scan(lazy)  # (npj, npos+10)
+        wpos = by2.shape[-1]
+        if wpos & 1:
+            by2 = jnp.concatenate([by2, jnp.zeros((npj, 1), jnp.uint32)], axis=-1)
+            wpos += 1
+        limbs = by2[:, 0::2] + (by2[:, 1::2] << 8)  # (npj, W16) canonical
+        w16 = limbs.shape[-1]
+        nch = (w16 + l - 1) // l
+        if nch * l != w16:
+            limbs = jnp.concatenate(
+                [limbs, jnp.zeros((npj, nch * l - w16), jnp.uint32)], axis=-1
+            )
+        chunks = [
+            mod_reduce_wide(ctx, limbs[:, j * l : (j + 1) * l]) for j in range(nch)
+        ]
+        h = chunks[-1]
+        for j in range(nch - 2, -1, -1):
+            h = mont_add(ctx, mont_mul(ctx, h, r2), chunks[j])  # (npj, l), G mod q
+        w_limbs = jnp.asarray(_w_mont_gruen_np(ctx.modulus, l, npj, degree))
+        k_scale = len(rest) + 1
+        coeff = comb_coeff_limbs[term_i]
+        term_evals = []
+        for t in range(degree + 1):
+            acc = None
+            for j in range(npj):
+                part = mont_mul(ctx, w_limbs[t, j], h[j])
+                acc = part if acc is None else mont_add(ctx, acc, part)
+            for _ in range(k_scale - 1):
+                acc = mont_mul(ctx, acc, onev)  # ÷R → S_term(t)·R
+            term_evals.append(mont_mul(ctx, coeff, acc))
+        stacked = jnp.stack(term_evals)  # (degree+1, l)
+        ssum = stacked if ssum is None else jax.vmap(
+            lambda a, b: mont_add(ctx, a, b)
+        )(ssum, stacked)
+    # s_j(t) = pref · c_t · ssum[t],  c_t = (1−β_j)·(1−t) + β_j·t
+    tc = jnp.asarray(_tconst_mont_np(ctx.modulus, l, degree))
+    omb = _one_minus_limbs(ctx, beta_j)
+    out = []
+    for t in range(degree + 1):
+        c_t = mont_add(
+            ctx,
+            mont_mul(ctx, omb, tc[t, 0]),
+            mont_mul(ctx, beta_j, tc[t, 1]),
+        )
+        out.append(mont_mul(ctx, pref, mont_mul(ctx, c_t, ssum[t])))
+    return jnp.stack(out)  # (degree+1, l)
+
+
+def eq_factor(ctx: DeviceField, beta_j: jnp.ndarray, r_j: jnp.ndarray) -> jnp.ndarray:
+    """eq(β_j, r_j) = (1−β_j)(1−r_j) + β_j·r_j on (L,) Montgomery limbs."""
+    from ..fields.montgomery import mont_add, mont_mul
+
+    return mont_add(
+        ctx,
+        mont_mul(ctx, _one_minus_limbs(ctx, beta_j), _one_minus_limbs(ctx, r_j)),
+        mont_mul(ctx, beta_j, r_j),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -177,3 +177,22 @@ def test_sharded_lm_executor_matches_xla_sharded(mesh):
     exs.final_fold(r_prev)
     exd.final_fold(r_prev)
     assert exs.final_values() == exd.final_values()
+
+
+def test_hierarchical_mesh_full_prove_bit_identical(mesh):
+    """DCN-shaped ("host","chip") hierarchical mesh (parallel/mesh.py):
+    the full prove with the "host" axis standing in for the multi-process
+    DCN boundary must stay byte-identical (VERDICT r2 item 7)."""
+    from zinc_tpu.parallel import hierarchical_mesh, init_distributed
+    from zinc_tpu.serialize import serialize_proof
+
+    assert init_distributed() is False  # single-process run: local fallback
+    rng = random.Random(55)
+    _, ccs, statement, wit = dummy_ccs_of_size(1 << 6, rng, int_bits=62)
+    cfg_ref, proof_ref = _prove(None, statement, wit, ccs)
+    mesh_dcn = hierarchical_mesh(2, 4)
+    assert mesh_dcn.axis_names == ("host", "chip")
+    cfg_d, proof_d = _prove(mesh_dcn, statement, wit, ccs)
+    assert cfg_ref.q == cfg_d.q
+    assert serialize_proof(proof_d, cfg_d) == serialize_proof(proof_ref, cfg_ref)
+    ZincVerifier(ZT).verify(statement, proof_d, KeccakTranscript(), ccs, cfg_d)

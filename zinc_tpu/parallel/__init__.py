@@ -18,11 +18,13 @@ Everything here produces bit-identical transcripts and proofs to the
 single-device backend — sharding is purely a layout choice.
 """
 
-from .mesh import local_mesh, local_mesh_2d
+from .mesh import hierarchical_mesh, init_distributed, local_mesh, local_mesh_2d
 from .sumcheck import ShardedSumcheckExecutor
 from .zip import commit_device_sharded, commit_device_sharded_2d
 
 __all__ = [
+    "hierarchical_mesh",
+    "init_distributed",
     "local_mesh",
     "local_mesh_2d",
     "ShardedSumcheckExecutor",

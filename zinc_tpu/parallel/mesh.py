@@ -6,15 +6,99 @@ PCS shards the num_rows axis of the codeword matrix over it.  On real
 hardware the axis should be laid out over ICI (within a slice); the same
 program runs unchanged on the CPU backend with
 ``--xla_force_host_platform_device_count`` for testing.
+
+Multi-host (DCN) execution: :func:`init_distributed` brings up
+``jax.distributed`` from explicit coordinates or cluster env vars, and
+:func:`hierarchical_mesh` builds a ("host", "chip") mesh whose first axis
+crosses process (= DCN) boundaries while the second stays on each host's
+ICI-connected chips.  The sharded prover code is axis-name-agnostic (it
+reads ``mesh.axis_names``), so a hierarchical mesh drops into the same
+paths as the single-host 2-D ("r", "c") mesh: codeword rows / hypercube
+high bits shard over "host" (the commit is embarrassingly parallel; the
+only DCN collectives are the tiny per-round claim psums and the final
+open-phase row psum), and row interiors / hypercube low bits shard over
+"chip" where the all_gathers of the distributed prefix sums ride ICI.
+Replaces the reference's single-host Rayon ceiling
+(/root/reference/src/zip/pcs/commit.rs:164-180).
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXIS = "hc"
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Initialize ``jax.distributed`` for multi-host (DCN) meshes.
+
+    Explicit arguments win; otherwise standard cluster env vars
+    (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``,
+    or any TPU-pod metadata jax auto-detects) are used.  Returns True when
+    a multi-process runtime is (already or newly) active, False for
+    single-process runs — callers fall back to local meshes.  Safe to call
+    twice (the second call is a no-op)."""
+    if jax.process_count() > 1:
+        return True
+    coord = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = num_processes or os.environ.get("JAX_NUM_PROCESSES")
+    if coord is None and nproc is None:
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc) if nproc is not None else None,
+            process_id=(
+                process_id
+                if process_id is not None
+                else int(os.environ.get("JAX_PROCESS_ID", "0"))
+            ),
+        )
+    except RuntimeError:
+        pass  # already initialized
+    return jax.process_count() > 1
+
+
+def hierarchical_mesh(
+    hosts: int | None = None,
+    chips_per_host: int | None = None,
+    axes: tuple[str, str] = ("host", "chip"),
+) -> Mesh:
+    """A ("host", "chip") mesh whose first axis crosses DCN boundaries.
+
+    In a multi-process runtime this uses
+    ``mesh_utils.create_hybrid_device_mesh`` so the "chip" axis is ICI-
+    contiguous within each process and only "host" spans DCN.  In a
+    single-process run (tests, the driver's virtual CPU mesh) the local
+    devices are reshaped to (hosts, chips_per_host) — same program, same
+    collectives, DCN axis simulated."""
+    if jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+
+        hosts = hosts or jax.process_count()
+        chips_per_host = chips_per_host or jax.local_device_count()
+        devs = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, chips_per_host),
+            dcn_mesh_shape=(hosts, 1),
+            devices=jax.devices(),
+        )
+        return Mesh(devs.reshape(hosts, chips_per_host), axes)
+    devs = jax.devices()
+    if hosts is None or chips_per_host is None:
+        raise ValueError("single-process hierarchical_mesh needs explicit shape")
+    if len(devs) < hosts * chips_per_host:
+        raise ValueError(f"need {hosts * chips_per_host} devices, have {len(devs)}")
+    return Mesh(
+        np.array(devs[: hosts * chips_per_host]).reshape(hosts, chips_per_host), axes
+    )
 
 
 def local_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:

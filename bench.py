@@ -8,12 +8,14 @@ round of a 2^20-constraint Spartan prove (BASELINE.json config #4).
 
 Prints ONE JSON line:
   value        — device round latency in ms (steady state, after warmup)
-  vs_baseline  — speedup vs the host reference backend (this repo's pure
-                 CPython bit-exactness oracle) on the same machine, measured
-                 on a 2^12 slice and scaled linearly to 2^20.  The reference
-                 Rust implementation publishes no numbers and cargo is not
-                 available in this image (BASELINE.md), so the oracle is the
-                 only baseline measurable here.
+  vs_baseline  — speedup vs a SINGLE-CORE NATIVE C++ mirror of the
+                 reference's round loop (native/cpu_baseline.cpp: 4×64-bit
+                 CIOS Montgomery, same eval+fold work), measured on this
+                 host and re-measured live when the binary is available
+                 (else the recorded 471 ms constant from BASELINE.md).
+                 This replaces the round-2 Python-oracle comparison (a
+                 strawman — VERDICT r2).  Divide by ~64 for the
+                 perfect-scaled multicore bound discussed in BASELINE.md.
 
 Extra context (per-element throughput, host slice timing, platform) goes to
 stderr so stdout stays a single machine-readable line.
@@ -122,20 +124,41 @@ def _device_round_ms(cfg, n_mles: int, b: int, degree: int, idx_terms, iters: in
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def _host_round_ms(cfg, n_mles: int, b: int, degree: int, idx_terms):
-    """The host (pure-Python) reference backend on the same round shape."""
-    import random
+def _native_baseline_round_ms() -> float:
+    """Single-core C++ mirror of the reference round loop at 2^20.
 
-    from zinc_tpu.sumcheck.prover import _fold, _round_evals
+    Builds/runs native/cpu_baseline.cpp when a compiler is available (best
+    of 3); falls back to the number recorded in BASELINE.md (measured on
+    this host class: Xeon 2.10 GHz, 471 ms)."""
+    import os
+    import shutil
+    import subprocess
 
-    rng = random.Random(0)
-    mles = [[cfg.fp(rng.randrange(cfg.q)) for _ in range(b)] for _ in range(n_mles)]
-    comb = [(cfg.one(), idxs) for idxs in idx_terms]
-    r = cfg.fp(rng.randrange(cfg.q))
-    t0 = time.perf_counter()
-    mles = _fold(mles, r)
-    _round_evals(mles, degree, comb, cfg)
-    return (time.perf_counter() - t0) * 1e3
+    recorded_ms = 471.0
+    root = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(root, "native", "cpu_baseline.cpp")
+    impl = os.path.join(root, "native", "zinc_native.cpp")
+    exe = "/tmp/zinc_cpu_baseline"
+    if not (shutil.which("g++") and os.path.exists(src)):
+        return recorded_ms
+    try:
+        if not os.path.exists(exe) or os.path.getmtime(exe) < max(
+            os.path.getmtime(src), os.path.getmtime(impl)
+        ):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-std=c++17", "-pthread",
+                 "-o", exe, src, impl],
+                check=True, capture_output=True, timeout=120,
+            )
+        out = subprocess.run(
+            [exe, "--threads", "1", "--iters", "3", "sumcheck_round"],
+            check=True, capture_output=True, timeout=300, text=True,
+        )
+        return json.loads(out.stdout)["sumcheck_round_2p20_s"] * 1e3
+    except Exception as e:  # noqa: BLE001 — bench must still print its line
+        print(f"[bench] native baseline unavailable ({e}); using recorded",
+              file=sys.stderr)
+        return recorded_ms
 
 
 def main() -> None:
@@ -156,15 +179,13 @@ def main() -> None:
     dev_ms = _device_round_ms(cfg, n_mles, b_dev, degree, idx_terms)
     dev_ms_scaled = dev_ms * (b_target / b_dev)
 
-    b_host = 1 << 12
-    host_ms = _host_round_ms(cfg, n_mles, b_host, degree, idx_terms)
-    host_ms_scaled = host_ms * (b_target / b_host)
+    base_ms = _native_baseline_round_ms()
 
     print(
         f"[bench] platform={platform} b_dev={b_dev} dev_round={dev_ms:.2f}ms "
         f"(scaled {dev_ms_scaled:.2f}ms @2^20 = "
         f"{b_target / dev_ms_scaled * 1e3 / 1e6:.2f}M elem/s) | "
-        f"host slice {host_ms:.1f}ms @2^12 (scaled {host_ms_scaled:.0f}ms @2^20)",
+        f"native 1-core C++ baseline {base_ms:.0f}ms @2^20",
         file=sys.stderr,
     )
     print(
@@ -173,7 +194,7 @@ def main() -> None:
                 "metric": "spartan_sumcheck_round_2p20_256bit",
                 "value": round(dev_ms_scaled, 3),
                 "unit": "ms",
-                "vs_baseline": round(host_ms_scaled / dev_ms_scaled, 2),
+                "vs_baseline": round(base_ms / dev_ms_scaled, 2),
             }
         )
     )

@@ -85,12 +85,12 @@ def _device_round_ms(cfg, n_mles: int, b: int, degree: int, idx_terms, iters: in
             np.transpose(tables[:n_fold], (0, 2, 1)).copy()
         )
         if gruen:
-            gterms = gruen_term_meta(idx_terms, eq_idx)
+            gterms = gruen_term_meta(idx_terms, eq_idx, l16)
             e_flat = jax.device_put(
                 rng.integers(0, 1 << 16, (l16, b), dtype=np.uint32)
             )
         else:
-            terms = term_meta(idx_terms)
+            terms = term_meta(idx_terms, l16)
 
         def chain_s(k: int) -> float:
             t0 = time.perf_counter()

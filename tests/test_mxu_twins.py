@@ -88,3 +88,90 @@ def test_eval_lm_ref_two_factor_terms():
     gs = eval_lm_ref(ctx, buf, comb_terms, b // (2 * TILE))
     evals = g_to_evals_host(CFG, [np.asarray(g) for g in gs], comb, comb_terms, 2)
     assert evals == _round_evals(mles, 2, comb, CFG)
+
+
+def test_eval_lm_ref_four_factor_terms_degree4():
+    """4-factor terms (VERDICT r2 item 8): the e-MLE pairs with one P factor
+    as a lazy-product side (ne = 4) — degree-4 evals must match the oracle."""
+    b = 2 * TILE * 2
+    ctx = device_field(CFG)
+    idx_terms = ((0, 1, 2, 3), (1, 2, 3))  # one 4-factor + one 3-factor term
+    degree = 4
+    comb_terms = term_meta(idx_terms, CFG.n16)
+    rng = random.Random(3)
+    comb = [(CFG.fp(5), idx_terms[0]), (-CFG.one(), idx_terms[1])]
+    mles = [[CFG.fp(rng.randrange(CFG.q)) for _ in range(b)] for _ in range(4)]
+    tabs = np.stack([np.asarray(fps_to_limbs(m, CFG)) for m in mles])
+    buf = _to_lm(jnp.asarray(tabs), b)
+    gs = eval_lm_ref(ctx, buf, comb_terms, b // (2 * TILE))
+    evals = g_to_evals_host(CFG, [np.asarray(g) for g in gs], comb, comb_terms, degree)
+    assert evals == _round_evals(mles, degree, comb, CFG)
+    # and after a fold (round 1)
+    r = CFG.fp(rng.randrange(CFG.q))
+    r_limbs = jnp.asarray(fps_to_limbs([r], CFG)[0])
+    buf = fold_lm_ref(ctx, buf, r_limbs, b // (4 * TILE))
+    gs = eval_lm_ref(ctx, buf, comb_terms, (b // 2) // (2 * TILE))
+    evals = g_to_evals_host(CFG, [np.asarray(g) for g in gs], comb, comb_terms, degree)
+    assert evals == _round_evals(_fold(mles, r), degree, comb, CFG)
+
+
+def test_lm_twins_384bit_field():
+    """>16-limb fields (VERDICT r2 item 8): the full fold+eval twin chain on
+    a 384-bit prime (l16 = 24) must match the oracle."""
+    from zinc_tpu.sumcheck.mxu_exec import mxu_supported
+
+    cfg6 = FieldConfig((1 << 383) + 369, 6)  # 384-bit prime (2^383+369)
+    assert cfg6.n16 == 24 and mxu_supported(IDX_TERMS, cfg6.n16)
+    b = 2 * TILE * 2
+    ctx = device_field(cfg6)
+    terms = term_meta(IDX_TERMS, cfg6.n16)
+    rng = random.Random(4)
+    comb = [(cfg6.one(), t) for t in IDX_TERMS]
+    mles = [[cfg6.fp(rng.randrange(cfg6.q)) for _ in range(b)] for _ in range(4)]
+    tabs = np.stack([np.asarray(fps_to_limbs(m, cfg6)) for m in mles])
+    buf = _to_lm(jnp.asarray(tabs), b)
+    gs = eval_lm_ref(ctx, buf, terms, b // (2 * TILE))
+    evals = g_to_evals_host(cfg6, [np.asarray(g) for g in gs], comb, terms, DEGREE)
+    assert evals == _round_evals(mles, DEGREE, comb, cfg6)
+    r = cfg6.fp(rng.randrange(cfg6.q))
+    r_limbs = jnp.asarray(fps_to_limbs([r], cfg6)[0])
+    folded = fold_lm_ref(ctx, buf, r_limbs, b // (4 * TILE))
+    got = np.asarray(_from_lm(folded, b // 2))
+    want = np.stack([np.asarray(fps_to_limbs(m, cfg6)) for m in _fold(mles, r)])
+    assert np.array_equal(got, want)
+
+
+def test_gruen_ref_four_factor_term():
+    """Gruen tier with a 3-P-factor term: E joins the last factor as the
+    lazy e-side (ne = 2) — round evals must match the host oracle."""
+    from zinc_tpu.poly.mle import DenseMleF, build_eq_x_r
+    from zinc_tpu.sumcheck.mxu_exec import (
+        build_eq_suffix_flat,
+        eval_lm_gruen_ref,
+        gruen_g_to_evals_host,
+        gruen_supported,
+        gruen_term_meta,
+    )
+
+    nv = 11
+    b = 1 << nv
+    ctx = device_field(CFG)
+    rng = random.Random(5)
+    tabs_f = [[CFG.fp(rng.randrange(CFG.q)) for _ in range(b)] for _ in range(3)]
+    beta = [CFG.fp(rng.randrange(CFG.q)) for _ in range(nv)]
+    eq_tab = build_eq_x_r(beta, CFG).evaluations
+    idx_terms = ((0, 1, 2, 3), (0, 3))  # deg-4 gruen term + linear term
+    degree = 4
+    assert gruen_supported(idx_terms, 3, CFG.n16)
+    terms = gruen_term_meta(idx_terms, 3, CFG.n16)
+    comb = [(CFG.fp(3), idx_terms[0]), (CFG.one(), idx_terms[1])]
+
+    mles = [list(t) for t in tabs_f] + [list(eq_tab)]
+    host = _round_evals(mles, degree, comb, CFG)
+
+    beta_l = jnp.asarray(fps_to_limbs(beta, CFG))
+    e_flat = build_eq_suffix_flat(ctx, beta_l, nv)
+    buf = _to_lm(jnp.stack([jnp.asarray(fps_to_limbs(t, CFG)) for t in tabs_f]), b)
+    gs = eval_lm_gruen_ref(ctx, buf, e_flat, terms, b // (2 * TILE), 0)
+    got = gruen_g_to_evals_host(CFG, gs, comb, terms, degree, beta[0], CFG.one())
+    assert got == host

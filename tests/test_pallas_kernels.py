@@ -361,3 +361,52 @@ def test_device_fs_gruen_on_chip_byte_identity():
     assert rd == sh.randomness
     assert [m[0] for m in md] == [m.evaluations[0] for m in sh.mles]
     assert th.h.digest() == td.h.digest()
+
+
+@requires_tpu
+def test_eval_pallas_four_factor_and_384bit_match_twins():
+    """Widened MXU scope on-chip: 4-factor terms (ne = 4 lazy e-side) and a
+    384-bit field must produce bit-identical G planes to the XLA twins."""
+    import jax.numpy as jnp
+
+    from zinc_tpu.fields.config import FieldConfig
+    from zinc_tpu.fields.montgomery import device_field
+    from zinc_tpu.sumcheck.mxu_exec import (
+        TILE as MT,
+        _eval_lm,
+        _fold_lm,
+        _to_lm,
+        eval_lm_ref,
+        fold_lm_ref,
+        term_meta,
+    )
+
+    # 4-factor terms, 256-bit field
+    cfg, ctx = _cfg_ctx()
+    _, tabs = _rand_tables(cfg, 4, 1 << 11, 31)
+    terms = term_meta(((0, 1, 2, 3), (1, 2, 3)), cfg.n16)
+    buf = _to_lm(tabs, 1 << 11)
+    nbh = (1 << 11) // (2 * MT)
+    gp = _eval_lm(ctx, buf, terms, nbh)
+    gt = eval_lm_ref(ctx, buf, terms, nbh)
+    for a, b in zip(gp, gt):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # 384-bit field (l16 = 24): fold + eval
+    cfg6 = FieldConfig((1 << 383) + 369, 6)
+    ctx6 = device_field(cfg6)
+    _, tabs6 = _rand_tables(cfg6, 3, 1 << 11, 32)
+    terms6 = term_meta(((0, 2), (1, 2)), cfg6.n16)
+    buf6 = _to_lm(tabs6, 1 << 11)
+    from zinc_tpu.poly.device import fps_to_limbs
+
+    r = jnp.asarray(
+        fps_to_limbs([cfg6.fp(random.Random(33).randrange(cfg6.q))], cfg6)[0]
+    )
+    fp_ = _fold_lm(ctx6, buf6 + jnp.uint32(0), r, (1 << 11) // (4 * MT))
+    ft = fold_lm_ref(ctx6, buf6 + jnp.uint32(0), r, (1 << 11) // (4 * MT))
+    assert np.array_equal(np.asarray(fp_), np.asarray(ft))
+    gp6 = _eval_lm(ctx6, buf6, terms6, (1 << 11) // (2 * MT))
+    gt6 = eval_lm_ref(ctx6, buf6, terms6, (1 << 11) // (2 * MT))
+    for a, b in zip(gp6, gt6):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -196,3 +196,36 @@ def test_hierarchical_mesh_full_prove_bit_identical(mesh):
     assert cfg_ref.q == cfg_d.q
     assert serialize_proof(proof_d, cfg_d) == serialize_proof(proof_ref, cfg_ref)
     ZincVerifier(ZT).verify(statement, proof_d, KeccakTranscript(), ccs, cfg_d)
+
+
+def test_sharded_lm_executor_degree4(mesh):
+    """Widened MXU scope on the sharded LM executor (XLA twins on the CPU
+    mesh): a 4-factor term must match the XLA-body sharded executor."""
+    import jax.numpy as jnp
+
+    from zinc_tpu.parallel.sumcheck import (
+        ShardedLmSumcheckExecutor,
+        ShardedSumcheckExecutor,
+        make_sharded_executor,
+    )
+    from zinc_tpu.poly.device import fps_to_limbs
+
+    rng = random.Random(66)
+    cfg = draw_random_field([1], KeccakTranscript(), ZT.n_words, FIELD_LIMBS)
+    nv, n_mles = 13, 4
+    tables_f = [
+        [cfg.fp(rng.randrange(cfg.q)) for _ in range(1 << nv)] for _ in range(n_mles)
+    ]
+    stacked = jnp.stack([jnp.asarray(fps_to_limbs(tf, cfg)) for tf in tables_f])
+    comb = [(cfg.fp(7), (0, 1, 2, 3)), (-cfg.one(), (1, 3))]
+
+    exs = make_sharded_executor(cfg, stacked, 4, comb, mesh)
+    assert isinstance(exs, ShardedLmSumcheckExecutor)
+    exd = ShardedSumcheckExecutor(cfg, stacked, 4, comb, mesh)
+
+    r_prev = None
+    for rnd in range(4):  # the LM-tier rounds; the tail demotes identically
+        es = exs.round(r_prev)
+        ed = exd.round(r_prev)
+        assert es == ed, f"round {rnd} diverged"
+        r_prev = cfg.fp(rng.randrange(cfg.q))

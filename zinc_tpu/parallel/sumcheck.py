@@ -162,7 +162,7 @@ class ShardedLmSumcheckExecutor:
         self.degree = degree
         self._comb = comb
         self.idx_terms = tuple(tuple(idxs) for _, idxs in comb)
-        self.terms = term_meta(self.idx_terms)
+        self.terms = term_meta(self.idx_terms, cfg.n16)
         self.tile = TILE
         self.d = mesh.size
         b = tables.shape[1]

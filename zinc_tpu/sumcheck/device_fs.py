@@ -151,7 +151,7 @@ def _sumcheck_fs_kernel_gruen(
     n_tabs, b_total, l = buf.shape
     nvars = beta.shape[0]
     eq_idx = n_tabs
-    gterms = gruen_term_meta(idx_terms, eq_idx)
+    gterms = gruen_term_meta(idx_terms, eq_idx, l)
     n_points = degree + 1
     lanes, sbuf = sponge_state
     pos = jnp.asarray(pos0, jnp.int32)
@@ -282,7 +282,7 @@ def _sumcheck_fs_kernel(
 
     active = buf.shape[1]
     use_mxu = use_pallas and mxu_supported(idx_terms, l)
-    terms = term_meta(idx_terms) if use_mxu else None
+    terms = term_meta(idx_terms, l) if use_mxu else None
     buf_lm = _to_lm(buf, active) if use_mxu and active >= 2 * MTILE else None
     evals_arr = jnp.zeros((n_dev_rounds, n_points, l), jnp.uint32)
     rs_arr = jnp.zeros((n_dev_rounds, l), jnp.uint32)
@@ -378,8 +378,8 @@ class _StaticCfg:
 
 def wants_gruen(cfg: FieldConfig, comb, eq_idx: int, b: int) -> bool:
     """True when the Gruen eq-factorized FS kernel will drive this shape:
-    every term carries eq last with 1-2 other factors, 256-bit field, and
-    the table is large enough that every device round is an MXU round."""
+    every term carries eq last with 1-3 other factors, ≤ 512-bit field,
+    and the table is large enough that every device round is MXU-sized."""
     from .mxu_exec import TILE as MTILE, gruen_supported
 
     idx_terms = tuple(tuple(idxs) for _, idxs in comb)

@@ -34,9 +34,11 @@ Byte planes are PLANE-MAJOR (sublane concatenation — a cheap copy, unlike
 an interleave) with the row→position permutation baked into the static
 matrices and the decode maps.
 
-Scope: terms with 2 or 3 factors and l16 ≤ 16 (≤ 256-bit fields); anything
-else falls back to the VPU executor.  Both executors are bit-identical to
-the host oracle (pinned by tests).
+Scope: terms with 2-4 factors and l16 ≤ 32 (≤ 512-bit fields, incl. the
+384-bit class); anything else falls back to the VPU executor.  A 4-factor
+term pairs its e-MLE with one P factor as a lazy-product side (ne 4), so
+the same bilinear G contraction covers cubic P sides.  Both executors are
+bit-identical to the host oracle (pinned by tests).
 """
 
 from __future__ import annotations
@@ -70,20 +72,36 @@ GCHUNK = 256  # G contraction chunk: 256·255² < 2^24 keeps f32 sums exact
 def mxu_supported(idx_terms, l16: int) -> bool:
     """MXU path preconditions (fall back to the VPU executor otherwise).
 
-    l16 must be exactly 16 (256-bit fields): term_meta's plane-row counts
-    and the _p_positions dispatch are derived from l = 16 (ADVICE r2 —
-    narrower fields would mis-dispatch, so they take the VPU tier)."""
-    return l16 == 16 and all(2 <= len(t) <= 3 for t in idx_terms)
+    Field widths: any l16 ≤ 32 (≤ 512-bit).  Exactness bounds scale with
+    l — the REDC byte-plane dot sums ≤ 6l·255² < 2^24 hold to l = 43, the
+    fused-fold dot ≤ (4l+2)·255² to l = 64, and the G contraction is
+    l-independent (256-lane chunks) — so 32 is conservative.
+    Terms: 2-4 factors (1-3 P-side factors; a 4-factor term pairs the
+    e-MLE with one P factor as a lazy product side — see term_meta)."""
+    return l16 <= 32 and all(2 <= len(t) <= 4 for t in idx_terms)
 
 
-def term_meta(idx_terms) -> tuple:
-    """Static per-term metadata: (e_idx, rest, npj, prow)."""
+def term_meta(idx_terms, l: int = 16) -> tuple:
+    """Static per-term metadata: (e_idx, rest, npj, prow, ne, erow).
+
+    npj/prow: P-side basis size and byte-plane rows; ne/erow: e-side basis
+    size and rows.  1 P factor: P basis {P(0), P(1)} canonical (prow 2l);
+    2 P factors: {P(0), P(1), ΔΔ} lazy products (prow 6l).  3 P factors:
+    the LAST P factor C joins the e side as lazy products
+    {e₀C₀, e₀ΔC, Δe·C₀, Δe·ΔC} (ne 4, erow 6l) against the first two
+    factors' quadratic basis — the G contraction machinery is unchanged."""
     out = []
     for idxs in idx_terms:
         e, rest = idxs[0], tuple(idxs[1:])
-        npj = 3 if len(rest) == 2 else 2
-        prow = 96 if len(rest) == 2 else 32
-        out.append((e, rest, npj, prow))
+        if len(rest) == 1:
+            npj, prow = 2, 2 * l
+        else:
+            npj, prow = 3, 6 * l
+        if len(rest) == 3:
+            ne, erow = 4, 6 * l
+        else:
+            ne, erow = 2, 2 * l
+        out.append((e, rest, npj, prow, ne, erow))
     return tuple(out)
 
 
@@ -286,8 +304,8 @@ def _nt_dot_chunked(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def _g_out_shapes(terms, l: int):
     return tuple(
-        jax.ShapeDtypeStruct((2 * npj, 3, 2 * l, prow), jnp.int32)
-        for _, _, npj, prow in terms
+        jax.ShapeDtypeStruct((ne * npj, 3, erow, prow), jnp.int32)
+        for _, _, npj, prow, ne, erow in terms
     )
 
 
@@ -303,15 +321,27 @@ def _p_positions(npj: int, prow: int, l: int) -> np.ndarray:
     return _pos_bytes3(2 * l)  # _bytes3_B of lazy (2l) cols
 
 
-def _point_weights(npj: int, degree: int) -> np.ndarray:
-    """w[t, a, j] = tᵃ·c_j(t) for the P-basis {P(0), P(1), [lead]}."""
-    w = np.zeros((degree + 1, 2, npj), np.int64)
+_E_EXPS = {1: (0,), 2: (0, 1), 4: (0, 1, 1, 2)}  # t-exponent per e-basis row:
+# ne=2 is {e₀, Δe}; ne=4 the lazy pairs {e₀C₀, e₀ΔC, Δe·C₀, Δe·ΔC}.
+
+
+def _point_weights(ne: int, npj: int, degree: int) -> np.ndarray:
+    """w[t, k, j] = t^exp[k]·c_j(t) for e-basis row k and P-basis row j."""
+    exps = _E_EXPS[ne]
+    w = np.zeros((degree + 1, ne, npj), np.int64)
     for t in range(degree + 1):
         cj = [1 - t, t] + ([t * t - t] if npj == 3 else [])
-        for a in range(2):
+        for k in range(ne):
             for j in range(npj):
-                w[t, a, j] = (t ** a) * cj[j]
+                w[t, k, j] = (t ** exps[k]) * cj[j]
     return w
+
+
+def _e_positions(ne: int, erow: int, l: int) -> np.ndarray:
+    """8-bit position of each e-side row (canonical or lazy-product rows)."""
+    if erow == 2 * l:  # _split8_B of canonical (l) cols
+        return _pos_split8(l)
+    return _pos_bytes3(2 * l)  # _bytes3_B of lazy (2l) cols
 
 
 def g_to_evals_host(
@@ -319,26 +349,28 @@ def g_to_evals_host(
 ) -> list[Fp]:
     """Exact host decode: G byte planes → Σ-claims at points 0..degree."""
     l = cfg.n16
-    e_pos = _pos_split8(l)
     evals = [cfg.zero() for _ in range(degree + 1)]
-    for (coeff, _idxs), (e_idx, rest, npj, prow), g in zip(comb, terms, g_arrays):
-        g = np.asarray(g, np.int64)  # (2·npj, 3, 2l, prow)
-        vals = g[:, 0] + (g[:, 1] << 8) + (g[:, 2] << 16)  # (2·npj, 2l, prow)
+    for (coeff, _idxs), (e_idx, rest, npj, prow, ne, erow), g in zip(
+        comb, terms, g_arrays
+    ):
+        g = np.asarray(g, np.int64)  # (ne·npj, 3, erow, prow)
+        vals = g[:, 0] + (g[:, 1] << 8) + (g[:, 2] << 16)  # (ne·npj, erow, prow)
+        e_pos = _e_positions(ne, erow, l)
         p_pos = _p_positions(npj, prow, l)
         flat_pos = (e_pos[:, None] + p_pos[None, :]).ravel()
         gi = []
-        for k in range(2 * npj):
-            # per-position sums ≤ 96·2^42 < 2^53: exact in f64 bincount
+        for k in range(ne * npj):
+            # per-position sums ≤ 288·2^42 < 2^53: exact in f64 bincount
             sums = np.bincount(flat_pos, weights=vals[k].ravel().astype(np.float64))
             total = 0
             for p, s in enumerate(sums):
                 total += int(s) << (8 * p)
             gi.append(total)
-        w = _point_weights(npj, degree)
+        w = _point_weights(ne, npj, degree)
         k_scale = len(rest) + 1
         for t in range(degree + 1):
             acc = 0
-            for a in range(2):
+            for a in range(ne):
                 for j in range(npj):
                     acc += int(w[t, a, j]) * gi[a * npj + j]
             m = acc % cfg.q  # ≡ S_term(t)·R^k_scale
@@ -364,7 +396,7 @@ class MxuSumcheckExecutor:
         self.degree = degree
         self.comb = comb
         self.idx_terms = tuple(tuple(idxs) for _, idxs in comb)
-        self.terms = term_meta(self.idx_terms)
+        self.terms = term_meta(self.idx_terms, cfg.n16)
         self.coeffs = jnp.asarray(fps_to_limbs([c for c, _ in comb], cfg))
         one = cfg.one()
         self.kinds = tuple(
@@ -576,8 +608,8 @@ def _fold_lm(ctx: DeviceField, buf: jnp.ndarray, r: jnp.ndarray, nbh):
 
 def _g_out_specs_s(terms, l: int):
     return tuple(
-        pl.BlockSpec((2 * npj, 3, 2 * l, prow), lambda i, s: (0, 0, 0, 0))
-        for _, _, npj, prow in terms
+        pl.BlockSpec((ne * npj, 3, erow, prow), lambda i, s: (0, 0, 0, 0))
+        for _, _, npj, prow, ne, erow in terms
     )
 
 
@@ -603,9 +635,19 @@ def _eval_terms_lm(kctx, a_ref, b_ref, terms, l):
         return s8c[key]
 
     outs = []
-    for e_idx, rest, npj, prow in terms:
+    for e_idx, rest, npj, prow, ne, erow in terms:
         e0, _ = vv(e_idx)
-        e_sides = [s8(("v0", e_idx), e0), s8(("d", e_idx), dd(e_idx))]
+        if ne == 4:  # 4-factor term: the last P factor joins the e side
+            c0, _ = vv(rest[2])
+            de, dcm = dd(e_idx), dd(rest[2])
+            e_sides = [
+                _bf16(_bytes3_B(_mul_columns_T(e0, c0))),
+                _bf16(_bytes3_B(_mul_columns_T(e0, dcm))),
+                _bf16(_bytes3_B(_mul_columns_T(de, c0))),
+                _bf16(_bytes3_B(_mul_columns_T(de, dcm))),
+            ]
+        else:
+            e_sides = [s8(("v0", e_idx), e0), s8(("d", e_idx), dd(e_idx))]
         if len(rest) == 1:
             y0, y1 = vv(rest[0])
             p_sides = [s8(("v0", rest[0]), y0), s8(("v1", rest[0]), y1)]
@@ -688,21 +730,30 @@ def _eval_lm(ctx: DeviceField, buf: jnp.ndarray, terms, nbh):
 
 
 def gruen_supported(idx_terms, eq_idx: int, l16: int) -> bool:
-    """Every term must carry eq as its last index; P side ≤ 2 factors."""
-    return l16 == 16 and all(
-        len(t) >= 2 and t[-1] == eq_idx and 1 <= len(t) - 1 <= 2 for t in idx_terms
+    """Every term must carry eq as its last index; P side ≤ 3 factors
+    (same width/bound arguments as :func:`mxu_supported`)."""
+    return l16 <= 32 and all(
+        len(t) >= 2 and t[-1] == eq_idx and 1 <= len(t) - 1 <= 3 for t in idx_terms
     )
 
 
-def gruen_term_meta(idx_terms, eq_idx: int) -> tuple:
-    """Static per-term metadata with eq stripped: (rest, npj, prow)."""
+def gruen_term_meta(idx_terms, eq_idx: int, l: int = 16) -> tuple:
+    """Static per-term metadata with eq stripped: (rest, npj, prow, ne, erow).
+
+    The suffix-eq level E replaces the classic e side (ne 1, canonical rows).
+    With 3 P factors the last one joins E as lazy products {E·C₀, E·ΔC}
+    (ne 2, erow 6l) against the first two factors' quadratic basis."""
     out = []
     for idxs in idx_terms:
         assert idxs[-1] == eq_idx
         rest = tuple(idxs[:-1])
-        npj = 3 if len(rest) == 2 else 2
-        prow = 96 if len(rest) == 2 else 32
-        out.append((rest, npj, prow))
+        npj = 2 if len(rest) == 1 else 3
+        prow = 2 * l if len(rest) == 1 else 6 * l
+        if len(rest) == 3:
+            ne, erow = 2, 6 * l
+        else:
+            ne, erow = 1, 2 * l
+        out.append((rest, npj, prow, ne, erow))
     return tuple(out)
 
 
@@ -745,7 +796,8 @@ def build_eq_suffix_flat(ctx: DeviceField, beta: jnp.ndarray, nvars: int) -> jnp
 
 
 def _eval_terms_gruen(kctx, e_blk, a_ref, b_ref, terms, l):
-    """Gruen G byte planes for one block: single (canonical E) e-side."""
+    """Gruen G byte planes for one block: canonical-E e-side (ne 1), or
+    lazy {E·C₀, E·ΔC} products when the term has a third P factor."""
     v0c, v1c, dc = {}, {}, {}
 
     def vv(i):
@@ -762,7 +814,15 @@ def _eval_terms_gruen(kctx, e_blk, a_ref, b_ref, terms, l):
 
     e8 = _bf16(_split8_B(e_blk))
     outs = []
-    for rest, npj, prow in terms:
+    for rest, npj, prow, ne, erow in terms:
+        if ne == 2:  # 4-factor term: third P factor joins the E side
+            c0, _ = vv(rest[2])
+            e_sides = [
+                _bf16(_bytes3_B(_mul_columns_T(e_blk, c0))),
+                _bf16(_bytes3_B(_mul_columns_T(e_blk, dd(rest[2])))),
+            ]
+        else:
+            e_sides = [e8]
         if len(rest) == 1:
             y0, y1 = vv(rest[0])
             p_sides = [_bf16(_split8_B(y0)), _bf16(_split8_B(y1))]
@@ -775,24 +835,25 @@ def _eval_terms_gruen(kctx, e_blk, a_ref, b_ref, terms, l):
                 _bf16(_bytes3_B(_mul_columns_T(dd(rest[0]), dd(rest[1])))),
             ]
         g_list = []
-        for pb in p_sides:
-            gi = _nt_dot_chunked(e8, pb)
-            g_list.append(jnp.stack([gi & 0xFF, (gi >> 8) & 0xFF, gi >> 16]))
-        outs.append(jnp.stack(g_list))  # (npj, 3, 2l, prow)
+        for ea in e_sides:
+            for pb in p_sides:
+                gi = _nt_dot_chunked(ea, pb)
+                g_list.append(jnp.stack([gi & 0xFF, (gi >> 8) & 0xFF, gi >> 16]))
+        outs.append(jnp.stack(g_list))  # (ne·npj, 3, erow, prow)
     return outs
 
 
 def _gruen_g_shapes(terms, l: int):
     return tuple(
-        jax.ShapeDtypeStruct((npj, 3, 2 * l, prow), jnp.int32)
-        for _, npj, prow in terms
+        jax.ShapeDtypeStruct((ne * npj, 3, erow, prow), jnp.int32)
+        for _, npj, prow, ne, erow in terms
     )
 
 
 def _gruen_g_specs_s(terms, l: int):
     return tuple(
-        pl.BlockSpec((npj, 3, 2 * l, prow), lambda i, s: (0, 0, 0, 0))
-        for _, npj, prow in terms
+        pl.BlockSpec((ne * npj, 3, erow, prow), lambda i, s: (0, 0, 0, 0))
+        for _, npj, prow, ne, erow in terms
     )
 
 
@@ -857,16 +918,6 @@ def eval_lm_gruen_ref(ctx: DeviceField, buf: jnp.ndarray, e_flat: jnp.ndarray,
     return tuple(g.sum(axis=0, dtype=jnp.int32) for g in gs)
 
 
-def _gruen_point_weights(npj: int, degree: int) -> np.ndarray:
-    """w[t, j] = c_j(t) for the P basis {P(0), P(1)[, lead]}."""
-    w = np.zeros((degree + 1, npj), np.int64)
-    for t in range(degree + 1):
-        cj = [1 - t, t] + ([t * t - t] if npj == 3 else [])
-        for j in range(npj):
-            w[t, j] = cj[j]
-    return w
-
-
 def gruen_g_to_evals_host(
     cfg: FieldConfig, g_arrays, comb, terms, degree: int,
     beta_j: Fp, pref: Fp,
@@ -875,26 +926,29 @@ def gruen_g_to_evals_host(
 
     s_j(t) = pref · ((1−β_j)(1−t) + β_j·t) · Σ_i coeff_i·h_i(t)."""
     l = cfg.n16
-    e_pos = _pos_split8(l)
     h_evals = [cfg.zero() for _ in range(degree + 1)]
-    for (coeff, _idxs), (rest, npj, prow), g in zip(comb, terms, g_arrays):
-        g = np.asarray(g, np.int64)  # (npj, 3, 2l, prow)
+    for (coeff, _idxs), (rest, npj, prow, ne, erow), g in zip(
+        comb, terms, g_arrays
+    ):
+        g = np.asarray(g, np.int64)  # (ne·npj, 3, erow, prow)
         vals = g[:, 0] + (g[:, 1] << 8) + (g[:, 2] << 16)
+        e_pos = _e_positions(ne, erow, l)
         p_pos = _p_positions(npj, prow, l)
         flat_pos = (e_pos[:, None] + p_pos[None, :]).ravel()
         gi = []
-        for k in range(npj):
+        for k in range(ne * npj):
             sums = np.bincount(flat_pos, weights=vals[k].ravel().astype(np.float64))
             total = 0
             for p, s in enumerate(sums):
                 total += int(s) << (8 * p)
             gi.append(total)
-        w = _gruen_point_weights(npj, degree)
+        w = _point_weights(ne, npj, degree)
         k_scale = len(rest) + 1
         for t in range(degree + 1):
             acc = 0
-            for j in range(npj):
-                acc += int(w[t, j]) * gi[j]
+            for a in range(ne):
+                for j in range(npj):
+                    acc += int(w[t, a, j]) * gi[a * npj + j]
             m = acc % cfg.q
             for _ in range(k_scale - 1):
                 m = cfg.mont_mul(m, 1)
@@ -905,20 +959,6 @@ def gruen_g_to_evals_host(
         t_f = cfg.fp(t)
         c_t = (one - beta_j) * (one - t_f) + beta_j * t_f
         out.append(pref * c_t * h_evals[t])
-    return out
-
-
-@lru_cache(maxsize=64)
-def _w_mont_gruen_np(q: int, n16: int, npj: int, degree: int) -> np.ndarray:
-    """Montgomery-form limb constants of the Gruen point weights w[t,j]."""
-    from ..fields.limbs import int_to_limbs
-
-    radix = 1 << (16 * n16)
-    w = _gruen_point_weights(npj, degree)
-    out = np.zeros((degree + 1, npj, n16), np.uint32)
-    for t in range(degree + 1):
-        for j in range(npj):
-            out[t, j] = int_to_limbs((int(w[t, j]) * radix) % q, n16)
     return out
 
 
@@ -949,51 +989,55 @@ def gruen_g_to_evals_device(
     onev = jnp.zeros((l,), jnp.uint32).at[0].set(1)
     r2 = jnp.asarray(ctx.r2)
     ssum = None  # Σ_i coeff_i·h_i(t): (degree+1, l) Montgomery
-    for term_i, ((rest, npj, prow), g) in enumerate(zip(terms, g_arrays)):
-        m_np, npos = _onehot_positions_np(npj, prow, l)
+    for term_i, ((rest, npj, prow, ne, erow), g) in enumerate(
+        zip(terms, g_arrays)
+    ):
+        nk = ne * npj
+        m_np, npos = _onehot_positions_np(erow, npj, prow, l)
         m = jnp.asarray(m_np)
-        flat = g.reshape(npj, 3, 2 * l * prow).astype(jnp.int32)
-        # 12-bit split keeps every f32 contraction exact (≤ 96·2^12 < 2^24)
+        flat = g.reshape(nk, 3, erow * prow).astype(jnp.int32)
+        # 12-bit split keeps every f32 contraction exact (≤ 2^11·2^12 < 2^24)
         lo = (flat & 0xFFF).astype(jnp.float32)
         hi = (flat >> 12).astype(jnp.float32)
         s_pl = (
             jnp.einsum("kpm,mn->kpn", lo, m, precision="highest").astype(jnp.uint32)
             + (jnp.einsum("kpm,mn->kpn", hi, m, precision="highest").astype(jnp.uint32) << 12)
-        )  # (npj, 3, npos) ≤ 2^25
-        by = _bytes_scan(s_pl)  # (npj, 3, npos+4) canonical bytes per plane
-        padded = jnp.concatenate([by, jnp.zeros((npj, 3, 2), jnp.uint32)], axis=-1)
+        )  # (nk, 3, npos) ≤ 2^25
+        by = _bytes_scan(s_pl)  # (nk, 3, npos+4) canonical bytes per plane
+        padded = jnp.concatenate([by, jnp.zeros((nk, 3, 2), jnp.uint32)], axis=-1)
         lazy = (
             padded[:, 0, :]
             + jnp.roll(padded[:, 1, :], 1, axis=-1)
             + jnp.roll(padded[:, 2, :], 2, axis=-1)
         )
-        by2 = _bytes_scan(lazy)  # (npj, npos+10)
+        by2 = _bytes_scan(lazy)  # (nk, npos+10)
         wpos = by2.shape[-1]
         if wpos & 1:
-            by2 = jnp.concatenate([by2, jnp.zeros((npj, 1), jnp.uint32)], axis=-1)
+            by2 = jnp.concatenate([by2, jnp.zeros((nk, 1), jnp.uint32)], axis=-1)
             wpos += 1
-        limbs = by2[:, 0::2] + (by2[:, 1::2] << 8)  # (npj, W16) canonical
+        limbs = by2[:, 0::2] + (by2[:, 1::2] << 8)  # (nk, W16) canonical
         w16 = limbs.shape[-1]
         nch = (w16 + l - 1) // l
         if nch * l != w16:
             limbs = jnp.concatenate(
-                [limbs, jnp.zeros((npj, nch * l - w16), jnp.uint32)], axis=-1
+                [limbs, jnp.zeros((nk, nch * l - w16), jnp.uint32)], axis=-1
             )
         chunks = [
             mod_reduce_wide(ctx, limbs[:, j * l : (j + 1) * l]) for j in range(nch)
         ]
         h = chunks[-1]
         for j in range(nch - 2, -1, -1):
-            h = mont_add(ctx, mont_mul(ctx, h, r2), chunks[j])  # (npj, l), G mod q
-        w_limbs = jnp.asarray(_w_mont_gruen_np(ctx.modulus, l, npj, degree))
+            h = mont_add(ctx, mont_mul(ctx, h, r2), chunks[j])  # (nk, l), G mod q
+        w_limbs = jnp.asarray(_w_mont_np(ctx.modulus, l, ne, npj, degree))
         k_scale = len(rest) + 1
         coeff = comb_coeff_limbs[term_i]
         term_evals = []
         for t in range(degree + 1):
             acc = None
-            for j in range(npj):
-                part = mont_mul(ctx, w_limbs[t, j], h[j])
-                acc = part if acc is None else mont_add(ctx, acc, part)
+            for a in range(ne):
+                for j in range(npj):
+                    part = mont_mul(ctx, w_limbs[t, a, j], h[a * npj + j])
+                    acc = part if acc is None else mont_add(ctx, acc, part)
             for _ in range(k_scale - 1):
                 acc = mont_mul(ctx, acc, onev)  # ÷R → S_term(t)·R
             term_evals.append(mont_mul(ctx, coeff, acc))
@@ -1092,10 +1136,10 @@ def eval_lm_ref(ctx: DeviceField, buf: jnp.ndarray, terms, nbh: int):
 
 
 @lru_cache(maxsize=16)
-def _onehot_positions_np(npj: int, prow: int, l: int) -> tuple:
-    """(M, npos): one-hot f32 matrix folding the flattened (2l·prow) G grid
+def _onehot_positions_np(erow: int, npj: int, prow: int, l: int) -> tuple:
+    """(M, npos): one-hot f32 matrix folding the flattened (erow·prow) G grid
     onto 8-bit positions s = e_pos[i] + p_pos[r]."""
-    e_pos = _pos_split8(l)
+    e_pos = _e_positions(0, erow, l)
     p_pos = _p_positions(npj, prow, l)
     flat = (e_pos[:, None] + p_pos[None, :]).ravel()
     npos = int(flat.max()) + 1
@@ -1105,15 +1149,15 @@ def _onehot_positions_np(npj: int, prow: int, l: int) -> tuple:
 
 
 @lru_cache(maxsize=64)
-def _w_mont_np(q: int, n16: int, npj: int, degree: int) -> np.ndarray:
-    """Montgomery-form limb constants of the point weights w[t,a,j] mod q."""
+def _w_mont_np(q: int, n16: int, ne: int, npj: int, degree: int) -> np.ndarray:
+    """Montgomery-form limb constants of the point weights w[t,k,j] mod q."""
     from ..fields.limbs import int_to_limbs
 
     radix = 1 << (16 * n16)
-    w = _point_weights(npj, degree)
-    out = np.zeros((degree + 1, 2, npj, n16), np.uint32)
+    w = _point_weights(ne, npj, degree)
+    out = np.zeros((degree + 1, ne, npj, n16), np.uint32)
     for t in range(degree + 1):
-        for a in range(2):
+        for a in range(ne):
             for j in range(npj):
                 out[t, a, j] = int_to_limbs((int(w[t, a, j]) * radix) % q, n16)
     return out
@@ -1141,20 +1185,23 @@ def g_to_evals_device(ctx: DeviceField, g_arrays, comb_coeff_limbs, terms, degre
     onev = jnp.zeros((l,), jnp.uint32).at[0].set(1)
     r2 = jnp.asarray(ctx.r2)
     evals = None
-    for term_i, ((e_idx, rest, npj, prow), g) in enumerate(zip(terms, g_arrays)):
-        m_np, npos = _onehot_positions_np(npj, prow, l)
+    for term_i, ((e_idx, rest, npj, prow, ne, erow), g) in enumerate(
+        zip(terms, g_arrays)
+    ):
+        nk = ne * npj
+        m_np, npos = _onehot_positions_np(erow, npj, prow, l)
         m = jnp.asarray(m_np)
-        flat = g.reshape(2 * npj, 3, 2 * l * prow).astype(jnp.int32)
-        # 12-bit split keeps every f32 contraction exact (≤ 64·2^12 < 2^24)
+        flat = g.reshape(nk, 3, erow * prow).astype(jnp.int32)
+        # 12-bit split keeps every f32 contraction exact (≤ 2^11·2^12 < 2^24)
         lo = (flat & 0xFFF).astype(jnp.float32)
         hi = (flat >> 12).astype(jnp.float32)
         s_pl = (
             jnp.einsum("kpm,mn->kpn", lo, m, precision="highest").astype(jnp.uint32)
             + (jnp.einsum("kpm,mn->kpn", hi, m, precision="highest").astype(jnp.uint32) << 12)
-        )  # (2npj, 3, npos) ≤ 2^25
-        by = _bytes_scan(s_pl)  # canonical bytes per plane, (2npj, 3, npos+4)
+        )  # (nk, 3, npos) ≤ 2^25
+        by = _bytes_scan(s_pl)  # canonical bytes per plane, (nk, 3, npos+4)
         padded = jnp.concatenate(
-            [by, jnp.zeros((2 * npj, 3, 2), jnp.uint32)], axis=-1
+            [by, jnp.zeros((nk, 3, 2), jnp.uint32)], axis=-1
         )
         lazy = (
             padded[:, 0, :]
@@ -1162,33 +1209,33 @@ def g_to_evals_device(ctx: DeviceField, g_arrays, comb_coeff_limbs, terms, degre
             + jnp.roll(padded[:, 2, :], 2, axis=-1)
         )  # byte plane pl sits one position higher per plane; rolls are safe
         #   because the 2 appended zero positions absorb the wrap
-        by2 = _bytes_scan(lazy)  # (2npj, npos+10) canonical bytes
+        by2 = _bytes_scan(lazy)  # (nk, npos+10) canonical bytes
         wpos = by2.shape[-1]
         if wpos & 1:
-            by2 = jnp.concatenate([by2, jnp.zeros((2 * npj, 1), jnp.uint32)], axis=-1)
+            by2 = jnp.concatenate([by2, jnp.zeros((nk, 1), jnp.uint32)], axis=-1)
             wpos += 1
-        limbs = by2[:, 0::2] + (by2[:, 1::2] << 8)  # (2npj, W16) canonical
+        limbs = by2[:, 0::2] + (by2[:, 1::2] << 8)  # (nk, W16) canonical
         # chunk-Horner mod q: G = Σ chunk_j·R^j, h ← h·R + chunk (×R via r2)
         w16 = limbs.shape[-1]
         nch = (w16 + l - 1) // l
         if nch * l != w16:
             limbs = jnp.concatenate(
-                [limbs, jnp.zeros((2 * npj, nch * l - w16), jnp.uint32)], axis=-1
+                [limbs, jnp.zeros((nk, nch * l - w16), jnp.uint32)], axis=-1
             )
         chunks = [
             mod_reduce_wide(ctx, limbs[:, j * l : (j + 1) * l]) for j in range(nch)
         ]
         h = chunks[-1]
         for j in range(nch - 2, -1, -1):
-            h = mont_add(ctx, mont_mul(ctx, h, r2), chunks[j])  # (2npj, l), G mod q
+            h = mont_add(ctx, mont_mul(ctx, h, r2), chunks[j])  # (nk, l), G mod q
         # point weights + scale + coefficient
-        w_limbs = jnp.asarray(_w_mont_np(ctx.modulus, l, npj, degree))
+        w_limbs = jnp.asarray(_w_mont_np(ctx.modulus, l, ne, npj, degree))
         k_scale = len(rest) + 1
         coeff = comb_coeff_limbs[term_i]
         term_evals = []
         for t in range(degree + 1):
             acc = None
-            for a in range(2):
+            for a in range(ne):
                 for j in range(npj):
                     part = mont_mul(ctx, w_limbs[t, a, j], h[a * npj + j])
                     acc = part if acc is None else mont_add(ctx, acc, part)

@@ -440,17 +440,32 @@ def prove_as_subprotocol_device_fs(
         )
 
     if n_dev:
+        from ..utils.export_cache import cached_call
+
         sp = DeviceSponge.from_host(transcript.h)
+        # the whole-sumcheck FS program is the largest trace in the system;
+        # route it through the jax.export disk cache so cold processes skip
+        # re-tracing (utils/export_cache.py; VERDICT r2 item 6)
+        static_key = (cfg.q, int(sp.pos), degree, idx_terms, kinds, n_dev,
+                      use_pallas)
         if gruen:
             beta_l = jnp.asarray(fps_to_limbs(eq_beta, cfg))
-            out = _sumcheck_fs_kernel_gruen(
-                ctx, buf, beta_l, _StaticCfg(cfg), coeffs, (sp.lanes, sp.buf),
-                sp.pos, degree, idx_terms, kinds, n_dev, use_pallas,
+            out = cached_call(
+                "fs-gruen", static_key,
+                lambda bu, be, co, sponge: _sumcheck_fs_kernel_gruen(
+                    ctx, bu, be, _StaticCfg(cfg), co, sponge, sp.pos,
+                    degree, idx_terms, kinds, n_dev, use_pallas,
+                ),
+                buf, beta_l, coeffs, (sp.lanes, sp.buf),
             )
         else:
-            out = _sumcheck_fs_kernel(
-                ctx, buf, _StaticCfg(cfg), coeffs, (sp.lanes, sp.buf), sp.pos,
-                degree, idx_terms, kinds, n_dev, use_pallas,
+            out = cached_call(
+                "fs-classic", static_key,
+                lambda bu, co, sponge: _sumcheck_fs_kernel(
+                    ctx, bu, _StaticCfg(cfg), co, sponge, sp.pos,
+                    degree, idx_terms, kinds, n_dev, use_pallas,
+                ),
+                buf, coeffs, (sp.lanes, sp.buf),
             )
         buf, evals_dev, rs_dev, lanes, sbuf = out
         # the buffer position is fully static: absorb totals mod the rate

@@ -1,0 +1,86 @@
+"""Serialized-program cache: skip per-process TRACING of the FS kernels.
+
+The persistent XLA compilation cache (~/.cache/zinc_tpu_xla) already covers
+recompiles, but jax still re-TRACES every program in each fresh process —
+and the device-resident Fiat-Shamir sumcheck kernels (sumcheck/device_fs.py)
+are the largest traces in the system (minutes of the measured ~280 s cold
+2^20 prove; PERF.md "Cold-process note").  ``jax.export`` serializes the
+traced/lowered StableHLO, so a cold process deserializes the artifact and
+goes straight to the (cached) executable: seconds instead of minutes.
+
+Keying: jax version + backend + field modulus + the kernel's static
+argument tuple + every dynamic aval — any mismatch is a different file, so
+stale artifacts can never be *loaded* for the wrong program.  Artifacts
+are written atomically; any failure (unsupported custom call, version
+drift, corrupt file) falls back to the plain jitted call.
+
+Enabled on the TPU backend by default (cold-start tax is a TPU-process
+problem; CPU test processes should not churn the cache), override with
+ZINC_TPU_EXPORT_CACHE=1/0.  Cache dir: ZINC_TPU_EXPORT_CACHE_DIR or
+~/.cache/zinc_tpu_export.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pathlib
+import sys
+
+
+def _cache_dir() -> pathlib.Path:
+    return pathlib.Path(
+        os.environ.get(
+            "ZINC_TPU_EXPORT_CACHE_DIR",
+            os.path.expanduser("~/.cache/zinc_tpu_export"),
+        )
+    )
+
+
+def enabled() -> bool:
+    import jax
+
+    v = os.environ.get("ZINC_TPU_EXPORT_CACHE")
+    if v is not None:
+        return v not in ("0", "off", "")
+    return jax.default_backend() == "tpu"
+
+
+def cached_call(kind: str, static_key, make_fn, *dyn_args):
+    """Run ``make_fn(*dyn_args)`` through a disk-cached ``jax.export``
+    artifact (skipping tracing on cache hits); plain jit on any failure.
+
+    ``make_fn`` must be a pure function of the dynamic (array-pytree)
+    arguments — all static configuration goes into ``static_key``."""
+    import jax
+
+    if not enabled():
+        return make_fn(*dyn_args)
+    avals = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tuple(dyn_args)
+    )
+    aval_sig = jax.tree.map(lambda a: (tuple(a.shape), str(a.dtype)), avals)
+    key_src = repr(
+        (kind, jax.__version__, jax.default_backend(), static_key, aval_sig)
+    )
+    key = hashlib.sha256(key_src.encode()).hexdigest()[:32]
+    path = _cache_dir() / f"{kind}-{key}.jaxexport"
+    try:
+        if path.exists():
+            exp = jax.export.deserialize(path.read_bytes())
+            return exp.call(*dyn_args)
+        exp = jax.export.export(
+            jax.jit(make_fn),
+            disabled_checks=[
+                jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call")
+            ],
+        )(*avals)
+        blob = exp.serialize()
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(f".tmp{os.getpid()}")
+        tmp.write_bytes(blob)
+        os.replace(tmp, path)
+        return exp.call(*dyn_args)
+    except Exception as e:  # noqa: BLE001 — cache must never break the prover
+        print(f"[zinc-tpu] export cache bypass ({kind}): {e}", file=sys.stderr)
+        return make_fn(*dyn_args)

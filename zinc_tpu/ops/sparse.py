@@ -50,10 +50,11 @@ def upload_matrix(cfg: FieldConfig, m: SparseMatrix) -> DeviceCsr:
 
     rows, cols, vals = [], [], []
     for i, row in enumerate(m.rows):
-        for v, c in row:
-            rows.append(i)
-            cols.append(c)
-            vals.append(v)
+        if not row:
+            continue
+        rows.extend([i] * len(row))
+        cols.extend([c for _, c in row])
+        vals.extend([v for v, _ in row])
     if all(-(1 << 63) <= v < (1 << 63) for v in vals):
         vals_f = i64_to_field_device(cfg, np.array(vals, np.int64))
     else:
@@ -161,10 +162,35 @@ def evaluate_mle_device(cfg: FieldConfig, m: DeviceCsr, r_row: list, r_col: list
     (/root/reference/src/zinc/verifier.rs:249-261 materializes the dense
     matrix MLE; here it is one gather-multiply-reduce over nnz).
     """
-    from ..poly.device import build_eq_table_device, limbs_to_fp
+    return evaluate_mles_device(cfg, [m], r_row, r_col)[0]
+
+
+def dispatch_mle_evals(cfg: FieldConfig, ms, r_row: list, r_col: list) -> list:
+    """Enqueue M̃ⱼ(r_row ‖ r_col) for several matrices and start their async
+    host copies — returns device handles WITHOUT blocking.  The eq tables
+    are built once and shared across the matrices."""
+    from ..poly.device import build_eq_table_device
 
     ctx = device_field(cfg)
     eq_rx = build_eq_table_device(cfg, r_row)
     eq_ry = build_eq_table_device(cfg, r_col)
-    out = _mle_eval_kernel(ctx, m.vals, m.rows_idx, m.cols_idx, eq_rx, eq_ry)
-    return limbs_to_fp(np.asarray(out), cfg)
+    outs = [
+        _mle_eval_kernel(ctx, m.vals, m.rows_idx, m.cols_idx, eq_rx, eq_ry)
+        for m in ms
+    ]
+    for o in outs:
+        if hasattr(o, "copy_to_host_async"):
+            o.copy_to_host_async()
+    return outs
+
+
+def fetch_mle_evals(cfg: FieldConfig, handles) -> list:
+    """Block on :func:`dispatch_mle_evals` handles → field elements."""
+    from ..poly.device import limbs_to_fp
+
+    return [limbs_to_fp(np.asarray(o), cfg) for o in handles]
+
+
+def evaluate_mles_device(cfg: FieldConfig, ms, r_row: list, r_col: list) -> list:
+    """Batched M̃ⱼ(r_row ‖ r_col): dispatch everything, fetch once."""
+    return fetch_mle_evals(cfg, dispatch_mle_evals(cfg, ms, r_row, r_col))

@@ -207,8 +207,15 @@ class ZincVerifier:
         ccs_f = ccs.map_to_field(cfg)
         # the device backend projects the (integer) constraint matrices on
         # device inside the final evaluation — the host-side map_to_field of
-        # every nonzero is the single most expensive verifier step at 2^20
-        statement_k = statement if self.backend == "device" else statement.map_to_field(cfg)
+        # every nonzero is the single most expensive verifier step at 2^20.
+        # Uploads start NOW so the transfers overlap the host-side Spartan
+        # and PCS verification; the evaluations themselves wait for r_x‖r_y.
+        if self.backend == "device":
+            from .ops.sparse import upload_matrix
+
+            statement_k = [upload_matrix(cfg, m) for m in statement.constraints]
+        else:
+            statement_k = statement.map_to_field(cfg).constraints
 
         try:
             points = spartan_verify(proof.spartan_proof, ccs_f, transcript, cfg)
@@ -219,7 +226,7 @@ class ZincVerifier:
 
     def _verify_pcs_proof(
         self,
-        statement_k: Statement,  # integer statement (device) | field (host)
+        statement_k,  # list: DeviceCsr uploads (device) | field matrices (host)
         zip_proof: ZipProof,
         points,
         ccs_f: CCS,
@@ -232,6 +239,17 @@ class ZincVerifier:
         r_x = points.rx_ry[: ccs_f.s]
         r_y = points.rx_ry[ccs_f.s :]
 
+        # Final-check evaluations (Σⱼ γʲ·M̃ⱼ(r_x‖r_y)): on the device
+        # backend these are DISPATCHED (async, with host copies started)
+        # before the host-heavy PCS verification and fetched after it, so
+        # the O(nnz) device work and its downloads ride under verify_poly's
+        # wall time.
+        handles = None
+        if self.backend == "device":
+            from .ops.sparse import dispatch_mle_evals
+
+            handles = dispatch_mle_evals(cfg, statement_k, r_x, r_y)
+
         try:
             verify_poly(pp, zip_proof.z_comm, r_y, zip_proof.v, pcs_transcript, cfg)
         except Exception as e:
@@ -239,15 +257,10 @@ class ZincVerifier:
 
         # Final check: Σⱼ γʲ·M̃ⱼ(r_x‖r_y)·v == e_y (sparse evaluation)
         if self.backend == "device":
-            from .ops.sparse import evaluate_mle_device, upload_matrix
+            from .ops.sparse import fetch_mle_evals
 
-            # integer matrices, projected on device (vectorized) — never
-            # through per-entry host Fp conversion
-            v_xy = [
-                evaluate_mle_device(cfg, upload_matrix(cfg, m), r_x, r_y)
-                for m in statement_k.constraints
-            ]
+            v_xy = fetch_mle_evals(cfg, handles)
         else:
-            v_xy = [evaluate_mle(m, r_x, r_y, cfg) for m in statement_k.constraints]
+            v_xy = [evaluate_mle(m, r_x, r_y, cfg) for m in statement_k]
         if not lin_comb_gamma(points.gamma, v_xy) * zip_proof.v == points.e_y:
             raise ZincError("gamma combination of matrix evaluations != e_y")

@@ -229,3 +229,72 @@ def test_sharded_lm_executor_degree4(mesh):
         ed = exd.round(r_prev)
         assert es == ed, f"round {rnd} diverged"
         r_prev = cfg.fp(rng.randrange(cfg.q))
+
+
+def test_sharded_gruen_executor_matches_classic(mesh):
+    """The Gruen sharded executor (eq factored out of the fold on every
+    device, per-device-scaled local suffix buffers, psum'd G planes) must
+    produce the same round evals / finals as the classic sharded executor
+    fed the explicit eq table."""
+    import jax.numpy as jnp
+
+    from zinc_tpu.parallel.sumcheck import (
+        ShardedGruenSumcheckExecutor,
+        ShardedSumcheckExecutor,
+        make_sharded_executor,
+        wants_gruen_sharded,
+    )
+    from zinc_tpu.poly.device import fps_to_limbs
+    from zinc_tpu.poly.mle import build_eq_x_r
+
+    rng = random.Random(77)
+    cfg = draw_random_field([1], KeccakTranscript(), ZT.n_words, FIELD_LIMBS)
+    nv, n_tabs = 14, 3
+    tables_f = [
+        [cfg.fp(rng.randrange(cfg.q)) for _ in range(1 << nv)] for _ in range(n_tabs)
+    ]
+    beta = [cfg.fp(rng.randrange(cfg.q)) for _ in range(nv)]
+    eq_tab = build_eq_x_r(beta, cfg).evaluations
+    comb = [(cfg.fp(7), (0, 1, 3)), (-cfg.one(), (2, 3))]
+    assert wants_gruen_sharded(cfg, comb, 3, 1 << nv, mesh)
+
+    stacked = jnp.stack([jnp.asarray(fps_to_limbs(t, cfg)) for t in tables_f])
+    exg = make_sharded_executor(cfg, stacked, 3, comb, mesh, eq_beta=beta)
+    assert isinstance(exg, ShardedGruenSumcheckExecutor)
+    full = jnp.concatenate(
+        [stacked, jnp.asarray(fps_to_limbs(eq_tab, cfg))[None]], axis=0
+    )
+    exc = ShardedSumcheckExecutor(cfg, full, 3, comb, mesh)
+
+    r_prev = None
+    for rnd in range(nv):
+        eg = exg.round(r_prev)
+        ec = exc.round(r_prev)
+        assert eg == ec, f"round {rnd} diverged"
+        r_prev = cfg.fp(rng.randrange(cfg.q))
+    exg.final_fold(r_prev)
+    exc.final_fold(r_prev)
+    assert exg.final_values() == exc.final_values()
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("ZINC_TPU_BIG_TESTS"),
+    reason="2^14 mesh prove (gruen-sharded gate engages): ZINC_TPU_BIG_TESTS=1",
+)
+def test_mesh_full_prove_2p14_gruen_sharded_bit_identical(mesh):
+    """At 2^14 the production mesh prove routes sumcheck-1 through the
+    sharded Gruen executor (b_local = 2^11 ≥ 4·TILE) — the full proof must
+    stay byte-identical to the unsharded device prover."""
+    from zinc_tpu.parallel.sumcheck import wants_gruen_sharded
+    from zinc_tpu.serialize import serialize_proof
+
+    rng = random.Random(88)
+    _, ccs, statement, wit = dummy_ccs_of_size(1 << 14, rng, int_bits=62)
+    cfg_probe = draw_random_field([1], KeccakTranscript(), ZT.n_words, FIELD_LIMBS)
+    comb_shape = [(cfg_probe.one(), tuple(s) + (len(ccs.S),)) for s in ccs.S]
+    assert wants_gruen_sharded(cfg_probe, comb_shape, len(ccs.S), ccs.m, mesh)
+
+    cfg_ref, proof_ref = _prove(None, statement, wit, ccs)
+    cfg_s, proof_s = _prove(mesh, statement, wit, ccs)
+    assert cfg_ref.q == cfg_s.q
+    assert serialize_proof(proof_s, cfg_s) == serialize_proof(proof_ref, cfg_ref)

@@ -253,15 +253,191 @@ class ShardedLmSumcheckExecutor:
         return [limbs_to_fp(rem[i, 0], self.cfg) for i in range(rem.shape[0])]
 
 
-def make_sharded_executor(cfg: FieldConfig, tables, degree: int, comb, mesh: Mesh):
-    """Best sharded tier for the shape: limb-major MXU executor when the
-    term structure and field width support it AND the per-device block is
-    large enough to pay for the layout, else the XLA-body executor."""
+@lru_cache(maxsize=64)
+def _sharded_gruen_eval(
+    mesh: Mesh, ctx: DeviceField, terms: tuple, nbh_local: int,
+    e_off_local: int, use_pallas: bool,
+):
+    from ..sumcheck.mxu_exec import _eval_lm_gruen, eval_lm_gruen_ref
+
+    axes = tuple(mesh.axis_names)
+
+    def local(buf, e_flat):
+        if use_pallas:
+            gs = _eval_lm_gruen(
+                ctx, buf, e_flat, terms,
+                jnp.asarray(nbh_local, jnp.int32),
+                jnp.asarray(e_off_local, jnp.int32),
+            )
+        else:
+            gs = eval_lm_gruen_ref(ctx, buf, e_flat, terms, nbh_local, e_off_local)
+        return tuple(jax.lax.psum(g, axes) for g in gs)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None, axes), P(None, axes)),
+        out_specs=tuple(P(None, None, None, None) for _ in terms),
+    )
+    return jax.jit(fn)
+
+
+class ShardedGruenSumcheckExecutor(ShardedLmSumcheckExecutor):
+    """Gruen eq-factorized sharded executor: the eq MLE never rides the
+    fold on ANY chip (−25% fold traffic on the 4-table Spartan sumcheck-1).
+
+    The suffix-eq factorizes exactly across the block sharding: the
+    hypercube is block-sharded by its logical HIGH bits (= the device id),
+    which are the LAST-bound variables, so level E_j of device d's pairs is
+    eq(β_dev, d) · E_j^{local} — ONE per-device Montgomery scalar times the
+    purely local flat suffix buffer over the nv − log₂(D) non-device
+    variables.  Each device therefore holds its own pre-scaled suffix
+    buffer (same (l, b_local) footprint as one sharded MLE) and runs the
+    identical single-chip Gruen eval kernel; G byte planes close with one
+    psum and decode on host with the pref ratchet
+    (sumcheck/mxu_exec.py gruen_g_to_evals_host).  The demote path
+    reconstructs the classic folded eq table (pref · eq(β_unbound, x)) on
+    host and appends it, so the replicated tail sees the classic comb.
+
+    ``tables`` EXCLUDES the eq MLE; ``comb`` references it as index
+    n_tabs (last factor of every term)."""
+
+    def __init__(self, cfg: FieldConfig, tables, degree: int, comb, mesh: Mesh,
+                 eq_beta):
+        from ..fields.montgomery import mont_mul
+        from ..sumcheck.mxu_exec import build_eq_suffix_flat, gruen_term_meta
+
+        super().__init__(cfg, tables, degree, comb, mesh)
+        self.eq_idx = tables.shape[0]
+        self.terms = gruen_term_meta(self.idx_terms, self.eq_idx, cfg.n16)
+        self.beta = list(eq_beta)
+        self.nv_local = self.b_local.bit_length() - 1
+        self.pref = cfg.one()
+        self.rounds_done = 0
+
+        # local flat suffix buffer (identical on every device), then one
+        # per-device scale w_d = Π_k eq(β_{nv_local+k+1}, bit_k(d))
+        flat_local = build_eq_suffix_flat(
+            self.ctx,
+            jnp.asarray(fps_to_limbs(self.beta[: self.nv_local], cfg)),
+            self.nv_local,
+        )
+        one = cfg.one()
+        n_dev_bits = self.d.bit_length() - 1
+        slices = []
+        for dev in range(self.d):
+            w = one
+            for k in range(n_dev_bits):
+                bk = self.beta[self.nv_local + k]
+                w = w * (bk if (dev >> k) & 1 else (one - bk))
+            w_l = jnp.asarray(fps_to_limbs([w], cfg)[0])
+            slices.append(np.asarray(jax.vmap(
+                lambda col: mont_mul(self.ctx, w_l, col), in_axes=1, out_axes=1
+            )(flat_local)))
+        self.e_flat = jax.device_put(
+            jnp.asarray(np.concatenate(slices, axis=1)),
+            NamedSharding(mesh, P(None, tuple(mesh.axis_names))),
+        )
+
+    # -- demotion ------------------------------------------------------------
+
+    def _maybe_demote(self, need_fold: bool) -> None:
+        if self._inner is not None:
+            return
+        need = 4 * self.tile if need_fold else 2 * self.tile
+        if self.active_local >= need:
+            return
+        from ..poly.mle import build_eq_x_r
+
+        rem = self._gather_remainder()  # (n_tabs, D·act, L) batch-major global
+        k = self.rounds_done  # folds done = max(k−1, 0); unbound vars β_k..
+        eq_tab = build_eq_x_r(self.beta[max(k - 1, 0):], self.cfg).evaluations
+        eq_scaled = [self.pref * e for e in eq_tab]
+        assert len(eq_scaled) == rem.shape[1]
+        full = np.concatenate(
+            [rem, np.asarray(fps_to_limbs(eq_scaled, self.cfg))[None]], axis=0
+        )
+        gathered = jax.device_put(
+            jnp.asarray(full), NamedSharding(self.mesh, P(None, None, None))
+        )
+        self._inner = DeviceSumcheckExecutor(self.cfg, gathered, self.degree, self._comb)
+        self.buf = None
+
+    # -- rounds ----------------------------------------------------------------
+
+    def round(self, r_prev: Fp | None) -> list[Fp]:
+        from ..sumcheck.mxu_exec import gruen_g_to_evals_host
+
+        self._maybe_demote(need_fold=r_prev is not None)
+        if self._inner is not None:
+            self.rounds_done += 1
+            return self._inner.round(r_prev)
+        j = self.rounds_done
+        one = self.cfg.one()
+        if r_prev is not None:
+            bk = self.beta[j - 1]
+            self.pref = self.pref * ((one - bk) * (one - r_prev) + bk * r_prev)
+            r = jnp.asarray(fps_to_limbs([r_prev], self.cfg)[0])
+            fold = _sharded_lm_fold(
+                self.mesh, self.ctx, self.active_local // (4 * self.tile),
+                self.use_pallas,
+            )
+            self.buf = fold(self.buf, r)
+            self.active_local //= 2
+        ev = _sharded_gruen_eval(
+            self.mesh, self.ctx, self.terms,
+            self.active_local // (2 * self.tile),
+            (self.b_local - self.active_local) // self.tile,
+            self.use_pallas,
+        )
+        gs = ev(self.buf, self.e_flat)
+        evals = gruen_g_to_evals_host(
+            self.cfg, [np.asarray(g) for g in gs], self._comb, self.terms,
+            self.degree, self.beta[j], self.pref,
+        )
+        self.rounds_done += 1
+        return evals
+
+    def final_fold(self, r: Fp):
+        self._maybe_demote(need_fold=True)
+        return self._inner.final_fold(r)
+
+    def final_values(self) -> list[Fp]:
+        assert self._inner is not None, "gruen executor demotes before the end"
+        return self._inner.final_values()
+
+
+def wants_gruen_sharded(cfg: FieldConfig, comb, eq_idx: int, b: int, mesh: Mesh) -> bool:
+    """True when the sharded Gruen executor will drive this shape."""
+    from ..sumcheck.mxu_exec import TILE, gruen_supported
+
+    idx_terms = tuple(tuple(idxs) for _, idxs in comb)
+    d = mesh.size
+    bl = b // d if b % d == 0 else 0
+    return (
+        gruen_supported(idx_terms, eq_idx, cfg.n16)
+        and d & (d - 1) == 0
+        and bl >= 4 * TILE
+        and bl & (bl - 1) == 0
+    )
+
+
+def make_sharded_executor(cfg: FieldConfig, tables, degree: int, comb, mesh: Mesh,
+                          eq_beta=None):
+    """Best sharded tier for the shape: the Gruen eq-factorized limb-major
+    executor when the caller factored eq out (``eq_beta`` given — caller
+    gates on :func:`wants_gruen_sharded`), else the limb-major MXU executor
+    when the term structure and field width support it AND the per-device
+    block is large enough to pay for the layout, else the XLA-body
+    executor."""
     from ..sumcheck.mxu_exec import TILE, mxu_supported
 
     idx_terms = tuple(tuple(idxs) for _, idxs in comb)
     b = tables.shape[1]
     d = mesh.size
+    if eq_beta is not None:
+        assert wants_gruen_sharded(cfg, comb, tables.shape[0], b, mesh)
+        return ShardedGruenSumcheckExecutor(cfg, tables, degree, comb, mesh, eq_beta)
     if (
         mxu_supported(idx_terms, cfg.n16)
         and b % d == 0

@@ -115,7 +115,8 @@ def spartan_prove_device(
         if mesh is not None:
             from .parallel.sumcheck import make_sharded_executor
 
-            ex = make_sharded_executor(cfg, tables, degree, comb, mesh)
+            ex = make_sharded_executor(cfg, tables, degree, comb, mesh,
+                                       eq_beta=eq_beta)
         else:
             from .sumcheck.device import make_executor as _make
 
@@ -133,12 +134,19 @@ def spartan_prove_device(
     comb1 = [(ci, tuple(ccs.S[i]) + (eq_idx,)) for i, ci in enumerate(c_f) if not ci.is_zero()]
     from .sumcheck.device_fs import wants_gruen
 
-    gruen1 = (
-        mesh is None
-        and not _os.environ.get("ZINC_TPU_NO_DEVICE_FS")
-        and not _os.environ.get("ZINC_TPU_NO_GRUEN")
-        and wants_gruen(cfg, comb1, eq_idx, ccs.m)
-    )
+    if mesh is None:
+        gruen1 = (
+            not _os.environ.get("ZINC_TPU_NO_DEVICE_FS")
+            and not _os.environ.get("ZINC_TPU_NO_GRUEN")
+            and wants_gruen(cfg, comb1, eq_idx, ccs.m)
+        )
+    else:
+        from .parallel.sumcheck import wants_gruen_sharded
+
+        gruen1 = (
+            not _os.environ.get("ZINC_TPU_NO_GRUEN")
+            and wants_gruen_sharded(cfg, comb1, eq_idx, ccs.m, mesh)
+        )
     with timed("spartan.sc1_setup"):
         tables = _sc1_setup(
         ctx,

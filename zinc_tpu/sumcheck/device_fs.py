@@ -438,6 +438,18 @@ def prove_as_subprotocol_device_fs(
         assert wants_gruen(cfg, comb, tables.shape[0], b) and n_dev >= 2, (
             "caller must gate the Gruen path on wants_gruen()"
         )
+        # the Gruen kernel runs EVERY device round on the MXU tier (its
+        # fori_loop body has no VPU tail), so cap n_dev at the MXU bound —
+        # equal to the VPU bound at the default TILE, smaller when
+        # ZINC_TPU_MXU_TILE raises the tile size
+        from .mxu_exec import TILE as MTILE
+
+        n_mxu = 1
+        size = b
+        while n_mxu < nvars and size >= 4 * MTILE:
+            n_mxu += 1
+            size //= 2
+        n_dev = min(n_dev, n_mxu)
 
     if n_dev:
         from ..utils.export_cache import cached_call

@@ -65,7 +65,13 @@ from ..ops.pallas_field import (
 )
 from ..poly.device import fps_to_limbs
 
-TILE = 256  # eval pairs per grid step (fold: 2·TILE pairs/mle; 16 MB scoped-VMEM cap)
+import os as _os
+
+# eval pairs per grid step (fold: 2·TILE pairs/mle).  256 fits the default
+# 16 MB scoped-VMEM cap; with --xla_tpu_scoped_vmem_limit_kib raised, larger
+# tiles cut grid-step overhead — override via ZINC_TPU_MXU_TILE (values are
+# proof-identical; only the blocking changes).
+TILE = int(_os.environ.get("ZINC_TPU_MXU_TILE", "256"))
 GCHUNK = 256  # G contraction chunk: 256·255² < 2^24 keeps f32 sums exact
 
 

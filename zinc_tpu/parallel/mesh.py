@@ -62,8 +62,12 @@ def init_distributed(
                 else int(os.environ.get("JAX_PROCESS_ID", "0"))
             ),
         )
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # only the double-initialize case is benign; a dead coordinator /
+        # port conflict must NOT silently degrade every worker to a lonely
+        # single-process prove
+        if "already" not in str(e).lower():
+            raise
     return jax.process_count() > 1
 
 

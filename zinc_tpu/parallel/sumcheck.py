@@ -82,12 +82,11 @@ def _sharded_fold_fn(mesh: Mesh, ctx: DeviceField):
 # ---------------------------------------------------------------------------
 
 
-def _lm_use_pallas() -> bool:
-    import os
+def _lm_use_pallas(b_local: int) -> bool:
+    """Single source of truth with the single-chip tier's gating."""
+    from ..sumcheck.device import _use_pallas
 
-    if os.environ.get("ZINC_TPU_NO_PALLAS"):
-        return False
-    return jax.devices()[0].platform == "tpu"
+    return _use_pallas(b_local)
 
 
 @lru_cache(maxsize=32)
@@ -146,6 +145,46 @@ def _sharded_lm_eval(mesh: Mesh, ctx: DeviceField, terms: tuple, nbh_local: int,
     return jax.jit(fn)
 
 
+# Dynamic-size wrappers (Pallas path only): the MXU kernels already take
+# their grid/offset sizes as traced scalar-prefetch values, so ONE trace
+# serves every round — per-shape retraces are the e2e killer over the
+# tunnel (CLAUDE.md).  The XLA twins need static sizes (shapes derive from
+# them), so the CPU-mesh path keeps the per-round-keyed wrappers above.
+
+
+@lru_cache(maxsize=32)
+def _sharded_lm_fold_dyn(mesh: Mesh, ctx: DeviceField):
+    from ..sumcheck.mxu_exec import _fold_lm
+
+    axes = tuple(mesh.axis_names)
+    fn = jax.shard_map(
+        lambda buf, r, nbh: _fold_lm(ctx, buf, r, nbh[0]),
+        mesh=mesh,
+        in_specs=(P(None, None, axes), P(None), P(None)),
+        out_specs=P(None, None, axes),
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=32)
+def _sharded_lm_eval_dyn(mesh: Mesh, ctx: DeviceField, terms: tuple):
+    from ..sumcheck.mxu_exec import _eval_lm
+
+    axes = tuple(mesh.axis_names)
+
+    def local(buf, nbh):
+        gs = _eval_lm(ctx, buf, terms, nbh[0])
+        return tuple(jax.lax.psum(g, axes) for g in gs)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None, axes), P(None)),
+        out_specs=tuple(P(None, None, None, None) for _ in terms),
+    )
+    return jax.jit(fn)
+
+
 class ShardedLmSumcheckExecutor:
     """MXU-tier sharded executor: limb-major blocks + psum'd G planes.
 
@@ -167,7 +206,7 @@ class ShardedLmSumcheckExecutor:
         self.d = mesh.size
         b = tables.shape[1]
         self.b_local = b // self.d
-        self.use_pallas = _lm_use_pallas()
+        self.use_pallas = _lm_use_pallas(self.b_local)
         axes = tuple(mesh.axis_names)
         sharded = jax.device_put(
             jnp.asarray(tables), NamedSharding(mesh, P(None, axes, None))
@@ -215,34 +254,37 @@ class ShardedLmSumcheckExecutor:
             self.cfg, [np.asarray(g) for g in gs], self._comb, self.terms, self.degree
         )
 
+    def _do_fold(self, r: jnp.ndarray) -> None:
+        nbh = self.active_local // (4 * self.tile)
+        if self.use_pallas:
+            self.buf = _sharded_lm_fold_dyn(self.mesh, self.ctx)(
+                self.buf, r, jnp.asarray([nbh], jnp.int32)
+            )
+        else:
+            self.buf = _sharded_lm_fold(self.mesh, self.ctx, nbh, False)(self.buf, r)
+        self.active_local //= 2
+
+    def _do_eval(self):
+        nbh = self.active_local // (2 * self.tile)
+        if self.use_pallas:
+            return _sharded_lm_eval_dyn(self.mesh, self.ctx, self.terms)(
+                self.buf, jnp.asarray([nbh], jnp.int32)
+            )
+        return _sharded_lm_eval(self.mesh, self.ctx, self.terms, nbh, False)(self.buf)
+
     def round(self, r_prev: Fp | None) -> list[Fp]:
         self._maybe_demote(need_fold=r_prev is not None)
         if self._inner is not None:
             return self._inner.round(r_prev)
         if r_prev is not None:
-            r = jnp.asarray(fps_to_limbs([r_prev], self.cfg)[0])
-            fold = _sharded_lm_fold(
-                self.mesh, self.ctx, self.active_local // (4 * self.tile),
-                self.use_pallas,
-            )
-            self.buf = fold(self.buf, r)
-            self.active_local //= 2
-        ev = _sharded_lm_eval(
-            self.mesh, self.ctx, self.terms, self.active_local // (2 * self.tile),
-            self.use_pallas,
-        )
-        return self._decode(ev(self.buf))
+            self._do_fold(jnp.asarray(fps_to_limbs([r_prev], self.cfg)[0]))
+        return self._decode(self._do_eval())
 
     def final_fold(self, r: Fp):
         self._maybe_demote(need_fold=True)
         if self._inner is not None:
             return self._inner.final_fold(r)
-        rl = jnp.asarray(fps_to_limbs([r], self.cfg)[0])
-        fold = _sharded_lm_fold(
-            self.mesh, self.ctx, self.active_local // (4 * self.tile), self.use_pallas
-        )
-        self.buf = fold(self.buf, rl)
-        self.active_local //= 2
+        self._do_fold(jnp.asarray(fps_to_limbs([r], self.cfg)[0]))
         return self.buf
 
     def final_values(self) -> list[Fp]:
@@ -256,27 +298,41 @@ class ShardedLmSumcheckExecutor:
 @lru_cache(maxsize=64)
 def _sharded_gruen_eval(
     mesh: Mesh, ctx: DeviceField, terms: tuple, nbh_local: int,
-    e_off_local: int, use_pallas: bool,
+    e_off_local: int,
 ):
-    from ..sumcheck.mxu_exec import _eval_lm_gruen, eval_lm_gruen_ref
+    """Static-size XLA-twin variant (CPU mesh; shapes derive from nbh)."""
+    from ..sumcheck.mxu_exec import eval_lm_gruen_ref
 
     axes = tuple(mesh.axis_names)
 
     def local(buf, e_flat):
-        if use_pallas:
-            gs = _eval_lm_gruen(
-                ctx, buf, e_flat, terms,
-                jnp.asarray(nbh_local, jnp.int32),
-                jnp.asarray(e_off_local, jnp.int32),
-            )
-        else:
-            gs = eval_lm_gruen_ref(ctx, buf, e_flat, terms, nbh_local, e_off_local)
+        gs = eval_lm_gruen_ref(ctx, buf, e_flat, terms, nbh_local, e_off_local)
         return tuple(jax.lax.psum(g, axes) for g in gs)
 
     fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(None, None, axes), P(None, axes)),
+        out_specs=tuple(P(None, None, None, None) for _ in terms),
+    )
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=32)
+def _sharded_gruen_eval_dyn(mesh: Mesh, ctx: DeviceField, terms: tuple):
+    """Dynamic-size Pallas variant: one trace serves every round."""
+    from ..sumcheck.mxu_exec import _eval_lm_gruen
+
+    axes = tuple(mesh.axis_names)
+
+    def local(buf, e_flat, sizes):
+        gs = _eval_lm_gruen(ctx, buf, e_flat, terms, sizes[0], sizes[1])
+        return tuple(jax.lax.psum(g, axes) for g in gs)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None, axes), P(None, axes), P(None)),
         out_specs=tuple(P(None, None, None, None) for _ in terms),
     )
     return jax.jit(fn)
@@ -377,20 +433,17 @@ class ShardedGruenSumcheckExecutor(ShardedLmSumcheckExecutor):
         if r_prev is not None:
             bk = self.beta[j - 1]
             self.pref = self.pref * ((one - bk) * (one - r_prev) + bk * r_prev)
-            r = jnp.asarray(fps_to_limbs([r_prev], self.cfg)[0])
-            fold = _sharded_lm_fold(
-                self.mesh, self.ctx, self.active_local // (4 * self.tile),
-                self.use_pallas,
+            self._do_fold(jnp.asarray(fps_to_limbs([r_prev], self.cfg)[0]))
+        nbh = self.active_local // (2 * self.tile)
+        e_off = (self.b_local - self.active_local) // self.tile
+        if self.use_pallas:
+            gs = _sharded_gruen_eval_dyn(self.mesh, self.ctx, self.terms)(
+                self.buf, self.e_flat, jnp.asarray([nbh, e_off], jnp.int32)
             )
-            self.buf = fold(self.buf, r)
-            self.active_local //= 2
-        ev = _sharded_gruen_eval(
-            self.mesh, self.ctx, self.terms,
-            self.active_local // (2 * self.tile),
-            (self.b_local - self.active_local) // self.tile,
-            self.use_pallas,
-        )
-        gs = ev(self.buf, self.e_flat)
+        else:
+            gs = _sharded_gruen_eval(self.mesh, self.ctx, self.terms, nbh, e_off)(
+                self.buf, self.e_flat
+            )
         evals = gruen_g_to_evals_host(
             self.cfg, [np.asarray(g) for g in gs], self._comb, self.terms,
             self.degree, self.beta[j], self.pref,

@@ -383,7 +383,10 @@ def wants_gruen(cfg: FieldConfig, comb, eq_idx: int, b: int) -> bool:
     from .mxu_exec import TILE as MTILE, gruen_supported
 
     idx_terms = tuple(tuple(idxs) for _, idxs in comb)
-    return gruen_supported(idx_terms, eq_idx, cfg.n16) and b >= 4 * MTILE
+    # b must grant >= 2 device rounds under BOTH tile bounds: the FS driver
+    # sizes n_dev with the VPU tile (256) while the Gruen kernel needs MXU
+    # tiles - with ZINC_TPU_MXU_TILE below 256 the VPU bound dominates
+    return gruen_supported(idx_terms, eq_idx, cfg.n16) and b >= max(4 * MTILE, 1024)
 
 
 def prove_as_subprotocol_device_fs(

@@ -272,8 +272,8 @@ def _scalar_fold_mxu(kctx, v0, v1, trt2, tmt, tqt):
     â = (1̂ − r̂) mod q, the fold value equals REDC(â·v0 + r̂·v1): both are
     the canonical residue of v0 + r̂·R⁻¹·(v1 − v0).  The combined product
     t = â·v0 + r̂·v1 rides in as one banded matmul against the stacked
-    Toeplitz `trt2` = [T(â) | T(r̂)] (per-column sums ≤ (4l+2)·255² < 2^23,
-    f32-exact), and the v2 chain's separate mont_sub (2 sweeps) and
+    Toeplitz `trt2` = [T(â) | T(r̂)] (per-column sums ≤ (4l+2)·255², under
+    the f32 integer-exactness bound 2^24 for every supported l ≤ 64), and the v2 chain's separate mont_sub (2 sweeps) and
     mont_add (2 sweeps) vanish — 7 Kogge-Stone sweeps per block → 4.
 
     Bound: u = (t + m·q)/R ≤ q + 2(q−1)²/R < 3q for ANY q < R (when
@@ -343,7 +343,7 @@ def _point_weights(ne: int, npj: int, degree: int) -> np.ndarray:
     return w
 
 
-def _e_positions(ne: int, erow: int, l: int) -> np.ndarray:
+def _e_positions(erow: int, l: int) -> np.ndarray:
     """8-bit position of each e-side row (canonical or lazy-product rows)."""
     if erow == 2 * l:  # _split8_B of canonical (l) cols
         return _pos_split8(l)
@@ -361,7 +361,7 @@ def g_to_evals_host(
     ):
         g = np.asarray(g, np.int64)  # (ne·npj, 3, erow, prow)
         vals = g[:, 0] + (g[:, 1] << 8) + (g[:, 2] << 16)  # (ne·npj, erow, prow)
-        e_pos = _e_positions(ne, erow, l)
+        e_pos = _e_positions(erow, l)
         p_pos = _p_positions(npj, prow, l)
         flat_pos = (e_pos[:, None] + p_pos[None, :]).ravel()
         gi = []
@@ -938,7 +938,7 @@ def gruen_g_to_evals_host(
     ):
         g = np.asarray(g, np.int64)  # (ne·npj, 3, erow, prow)
         vals = g[:, 0] + (g[:, 1] << 8) + (g[:, 2] << 16)
-        e_pos = _e_positions(ne, erow, l)
+        e_pos = _e_positions(erow, l)
         p_pos = _p_positions(npj, prow, l)
         flat_pos = (e_pos[:, None] + p_pos[None, :]).ravel()
         gi = []
@@ -1145,7 +1145,7 @@ def eval_lm_ref(ctx: DeviceField, buf: jnp.ndarray, terms, nbh: int):
 def _onehot_positions_np(erow: int, npj: int, prow: int, l: int) -> tuple:
     """(M, npos): one-hot f32 matrix folding the flattened (erow·prow) G grid
     onto 8-bit positions s = e_pos[i] + p_pos[r]."""
-    e_pos = _e_positions(0, erow, l)
+    e_pos = _e_positions(erow, l)
     p_pos = _p_positions(npj, prow, l)
     flat = (e_pos[:, None] + p_pos[None, :]).ravel()
     npos = int(flat.max()) + 1

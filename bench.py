@@ -80,36 +80,51 @@ def _device_round_ms(cfg, n_mles: int, b: int, degree: int, idx_terms, iters: in
         gruen = gruen_supported(idx_terms, eq_idx, l16)
         # bit-reversed limb-major buffer (the production layout; see
         # sumcheck/mxu_exec.py) — lane values are random either way
-        n_fold = n_mles - 1 if gruen else n_mles
-        tables_lm = jax.device_put(
-            np.transpose(tables[:n_fold], (0, 2, 1)).copy()
+        gterms = gruen_term_meta(idx_terms, eq_idx, l16) if gruen else None
+        e_flat = (
+            jax.device_put(rng.integers(0, 1 << 16, (l16, b), dtype=np.uint32))
+            if gruen
+            else None
         )
-        if gruen:
-            gterms = gruen_term_meta(idx_terms, eq_idx, l16)
-            e_flat = jax.device_put(
-                rng.integers(0, 1 << 16, (l16, b), dtype=np.uint32)
-            )
-        else:
-            terms = term_meta(idx_terms, l16)
+        terms = term_meta(idx_terms, l16)
 
-        def chain_s(k: int) -> float:
-            t0 = time.perf_counter()
-            buf = tables_lm + jnp.uint32(0)
-            gs = None
-            for _ in range(k):
-                buf = _fold_lm(ctx, buf, r_d, nbh)
-                if gruen:
-                    gs = _eval_lm_gruen(
-                        ctx, buf, e_flat, gterms,
-                        jnp.asarray(nbh, jnp.int32), jnp.asarray(0, jnp.int32),
-                    )
-                else:
-                    gs = _eval_lm(ctx, buf, terms, nbh)
-            np.asarray(gs[0])  # one fetch closes the whole chain
-            return time.perf_counter() - t0
+        def make_chain(use_gruen: bool):
+            n_fold = n_mles - 1 if use_gruen else n_mles
+            tables_lm = jax.device_put(
+                np.transpose(tables[:n_fold], (0, 2, 1)).copy()
+            )
+
+            def chain_s(k: int) -> float:
+                t0 = time.perf_counter()
+                buf = tables_lm + jnp.uint32(0)
+                gs = None
+                for _ in range(k):
+                    buf = _fold_lm(ctx, buf, r_d, nbh)
+                    if use_gruen:
+                        gs = _eval_lm_gruen(
+                            ctx, buf, e_flat, gterms,
+                            jnp.asarray(nbh, jnp.int32), jnp.asarray(0, jnp.int32),
+                        )
+                    else:
+                        gs = _eval_lm(ctx, buf, terms, nbh)
+                np.asarray(gs[0])  # one fetch closes the whole chain
+                return time.perf_counter() - t0
+
+            return chain_s
+
+        chain_s = make_chain(gruen)
+        try:
+            chain_s(1)  # warmup/compile
+        except Exception as e:  # noqa: BLE001 — the driver must get a number
+            if not gruen:
+                raise
+            print(f"[bench] gruen tier failed on this backend ({e}); "
+                  "falling back to the classic MXU round", file=sys.stderr)
+            gruen = False
+            chain_s = make_chain(False)
+            chain_s(1)
 
         k_short, k_long = 1, 1 + 8
-        chain_s(k_short)  # warmup/compile
         short = min(chain_s(k_short) for _ in range(iters))
         long = min(chain_s(k_long) for _ in range(iters))
         return max(long - short, 1e-9) / (k_long - k_short) * 1e3

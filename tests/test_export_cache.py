@@ -80,3 +80,37 @@ def test_export_cache_corrupt_artifact_falls_back(export_cache, capsys):
     (proof_2, _, _), _ = _fs_prove(nv, tables_f, stacked, comb)
     assert proof_2 == proof_1  # fell back to the plain jitted kernel
     assert "export cache bypass" in capsys.readouterr().err
+
+
+def test_export_cache_gruen_roundtrip(export_cache):
+    """The production 2^20 path is Gruen FS + export cache: pin the cached
+    write AND read paths byte-identical for the Gruen kernel too."""
+    from zinc_tpu.poly.mle import DenseMleF, build_eq_x_r
+    from zinc_tpu.sumcheck.device_fs import prove_as_subprotocol_device_fs
+
+    rng = random.Random(21)
+    nv = 10
+    tables_f = [
+        [CFG.fp(rng.randrange(CFG.q)) for _ in range(1 << nv)] for _ in range(3)
+    ]
+    beta = [CFG.fp(rng.randrange(CFG.q)) for _ in range(nv)]
+    eq_tab = build_eq_x_r(beta, CFG).evaluations
+    stacked = jnp.stack([jnp.asarray(fps_to_limbs(t, CFG)) for t in tables_f])
+    comb = [(CFG.one(), (0, 1, 3)), (-CFG.one(), (2, 3))]
+
+    th = KeccakTranscript()
+    proof_h, state_h = prove_as_subprotocol(
+        th,
+        [DenseMleF(nv, list(t), CFG) for t in tables_f]
+        + [DenseMleF(nv, list(eq_tab), CFG)],
+        nv, 3, comb, CFG,
+    )
+
+    for _ in range(2):  # write pass, then the deserialize pass
+        td = KeccakTranscript()
+        proof_d, rs_d, _ = prove_as_subprotocol_device_fs(
+            td, CFG, stacked, nv, 3, comb, eq_beta=beta
+        )
+        assert proof_d == proof_h and rs_d == state_h.randomness
+        assert td.h.digest() == th.h.digest()
+    assert len(list(export_cache.glob("fs-gruen-*.jaxexport"))) == 1

@@ -175,3 +175,27 @@ def test_gruen_ref_four_factor_term():
     gs = eval_lm_gruen_ref(ctx, buf, e_flat, terms, b // (2 * TILE), 0)
     got = gruen_g_to_evals_host(CFG, gs, comb, terms, degree, beta[0], CFG.one())
     assert got == host
+
+
+def test_cond_sub2_boundaries():
+    """The fused double conditional subtraction must agree with two
+    sequential _cond_sub_T at every boundary of [0, 3q) — random fold
+    values land in [2q, 3q) with probability ~0.02%, so the branch needs
+    directed vectors."""
+    from zinc_tpu.ops.pallas_field import _cond_sub_T
+    from zinc_tpu.sumcheck.mxu_exec import _cond_sub2_T
+    from zinc_tpu.fields.limbs import int_to_limbs
+
+    q = CFG.q
+    l1 = CFG.n16 + 1
+    rng = random.Random(6)
+    vals = [0, 1, q - 1, q, q + 1, 2 * q - 1, 2 * q, 2 * q + 1, 3 * q - 1]
+    vals += [rng.randrange(3 * q) for _ in range(23)]
+    a = jnp.asarray(np.stack([int_to_limbs(v, l1) for v in vals], axis=1))
+    m = jnp.asarray(np.asarray(int_to_limbs(q, l1))[:, None])
+    got = _cond_sub2_T(a, m)
+    want = _cond_sub_T(_cond_sub_T(a, m), m)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+    from zinc_tpu.fields.limbs import limbs_to_int
+    for i, v in enumerate(vals):
+        assert limbs_to_int(np.asarray(got)[:, i]) == v % q, v

@@ -265,6 +265,30 @@ def _scalar_mont_mul_mxu(kctx, d, trt, tmt, tqt):
     return res[:l]
 
 
+def _cond_sub2_T(a: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """a mod m for a ∈ [0, 3m): BOTH conditional subtractions in ONE
+    Kogge-Stone sweep.  The two candidates a−m (two's complement, +2^N)
+    and a−2m (+2^{N+1}) ride lane-stacked through a single carry
+    resolution with one extra spill limb; the spill value (0/1 for a−m,
+    1/2 for a−2m) selects the reduced result — sweep count 2 → 1 for the
+    fused fold's tail (v3 kernel: 4 sweeps → 3)."""
+    from ..ops.pallas_field import MASK16, _resolve_carries_T, _shift_down_T
+
+    l1, w = a.shape
+    nm = jnp.broadcast_to(m ^ MASK16, a.shape)  # ~m per 16-bit limb
+    t1 = a + nm
+    t1 = jnp.concatenate([t1[:1] + 1, t1[1:]], axis=0)  # a − m + 2^N
+    t2 = a + nm + nm
+    t2 = jnp.concatenate([t2[:1] + 2, t2[1:]], axis=0)  # a − 2m + 2^{N+1}
+    x = jnp.concatenate([t1, t2], axis=1)  # (l1, 2W) lazy ≤ 3·(2^16−1)+2
+    x = jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], jnp.uint32)], axis=0)
+    x = (x & MASK16) + _shift_down_T(x >> 16, 1)  # ≤ 2^16+2: resolver-safe
+    out = _resolve_carries_T(x)
+    d1, d2 = out[:l1, :w], out[:l1, w:]
+    s1, s2 = out[l1, :w], out[l1, w:]  # spill limbs: exact carry counts
+    return jnp.where((s2 == 2)[None, :], d2, jnp.where((s1 == 1)[None, :], d1, a))
+
+
 def _scalar_fold_mxu(kctx, v0, v1, trt2, tmt, tqt):
     """Fused fold v0 + mont_mul(r, v1 − v0) as ONE shared REDC chain.
 
@@ -273,8 +297,10 @@ def _scalar_fold_mxu(kctx, v0, v1, trt2, tmt, tqt):
     the canonical residue of v0 + r̂·R⁻¹·(v1 − v0).  The combined product
     t = â·v0 + r̂·v1 rides in as one banded matmul against the stacked
     Toeplitz `trt2` = [T(â) | T(r̂)] (per-column sums ≤ (4l+2)·255², under
-    the f32 integer-exactness bound 2^24 for every supported l ≤ 64), and the v2 chain's separate mont_sub (2 sweeps) and
-    mont_add (2 sweeps) vanish — 7 Kogge-Stone sweeps per block → 4.
+    the f32 integer-exactness bound 2^24 for every supported l ≤ 64), and
+    the v2 chain's separate mont_sub (2 sweeps) and mont_add (2 sweeps)
+    vanish — 7 Kogge-Stone sweeps per block → 4 → 3 (the two conditional
+    subtractions fuse into one lane-stacked sweep, _cond_sub2_T).
 
     Bound: u = (t + m·q)/R ≤ q + 2(q−1)²/R < 3q for ANY q < R (when
     q ≤ R/2 even u < 2q), so two conditional subtractions canonicalize.
@@ -289,8 +315,7 @@ def _scalar_fold_mxu(kctx, v0, v1, trt2, tmt, tqt):
     u8 = jnp.dot(tqt, _bf16(_split8_B(m)), preferred_element_type=jnp.float32)
     u16 = _combine8_T(_u32(u8) + t8)
     s = _carry_sweep_T(u16, 2 * l + 2)  # sweep 2
-    res = _cond_sub_T(s[l : 2 * l + 1], kctx.q_wide[:, None])  # sweep 3
-    res = _cond_sub_T(res, kctx.q_wide[:, None])  # sweep 4
+    res = _cond_sub2_T(s[l : 2 * l + 1], kctx.q_wide[:, None])  # sweep 3 (fused ×2)
     return res[:l]
 
 

@@ -177,25 +177,30 @@ def test_gruen_ref_four_factor_term():
     assert got == host
 
 
-def test_cond_sub2_boundaries():
-    """The fused double conditional subtraction must agree with two
-    sequential _cond_sub_T at every boundary of [0, 3q) — random fold
-    values land in [2q, 3q) with probability ~0.02%, so the branch needs
-    directed vectors."""
-    from zinc_tpu.ops.pallas_field import _cond_sub_T
-    from zinc_tpu.sumcheck.mxu_exec import _cond_sub2_T
-    from zinc_tpu.fields.limbs import int_to_limbs
+def test_redc_tail_boundaries():
+    """The single-sweep REDC tail (resolve + divide-by-R + mod-q with
+    lane-stacked candidates) must reduce u = x*R correctly at every
+    boundary of [0, 3q) - random fold values land in [2q, 3q) with
+    probability ~0.02%, so the k=2 branch needs directed vectors."""
+    from zinc_tpu.fields.limbs import int_to_limbs, limbs_to_int
+    from zinc_tpu.fields.montgomery import device_field as _df
+    from zinc_tpu.sumcheck.mxu_exec import _redc_tail_T
 
     q = CFG.q
-    l1 = CFG.n16 + 1
+    l = CFG.n16
+    ctx = device_field(CFG)
     rng = random.Random(6)
     vals = [0, 1, q - 1, q, q + 1, 2 * q - 1, 2 * q, 2 * q + 1, 3 * q - 1]
     vals += [rng.randrange(3 * q) for _ in range(23)]
-    a = jnp.asarray(np.stack([int_to_limbs(v, l1) for v in vals], axis=1))
-    m = jnp.asarray(np.asarray(int_to_limbs(q, l1))[:, None])
-    got = _cond_sub2_T(a, m)
-    want = _cond_sub_T(_cond_sub_T(a, m), m)
-    assert np.array_equal(np.asarray(got), np.asarray(want))
-    from zinc_tpu.fields.limbs import limbs_to_int
+    # u = x*R as lazy 16-bit columns: x's limbs at positions l..3l-1
+    u = np.zeros((2 * l + 2, len(vals)), np.uint32)
     for i, v in enumerate(vals):
-        assert limbs_to_int(np.asarray(got)[:, i]) == v % q, v
+        u[l : 2 * l + 1, i] = np.asarray(int_to_limbs(v, l + 1))
+    for kmax in (1, 2):
+        cap = (kmax + 1) * q
+        got = np.asarray(
+            _redc_tail_T(jnp.asarray(u), jnp.asarray(ctx.q_wide), l, kmax)
+        )
+        for i, v in enumerate(vals):
+            if v < cap:
+                assert limbs_to_int(got[:, i]) == v % q, (kmax, v)

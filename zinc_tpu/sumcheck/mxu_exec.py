@@ -260,33 +260,56 @@ def _scalar_mont_mul_mxu(kctx, d, trt, tmt, tqt):
     # u = t + m·q (merge the two lazy 8-bit position grids, one combine)
     u8 = jnp.dot(tqt, _bf16(_split8_B(m)), preferred_element_type=jnp.float32)
     u16 = _combine8_T(_u32(u8) + t8)  # (2l, W) lazy ≤ 2^30
-    s = _carry_sweep_T(u16, 2 * l + 2)
-    res = _cond_sub_T(s[l : 2 * l + 1], kctx.q_wide[:, None])
-    return res[:l]
+    return _redc_tail_T(u16, kctx.q_wide, l, kmax=1)  # ONE sweep: ÷R + mod q
 
 
-def _cond_sub2_T(a: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
-    """a mod m for a ∈ [0, 3m): BOTH conditional subtractions in ONE
-    Kogge-Stone sweep.  The two candidates a−m (two's complement, +2^N)
-    and a−2m (+2^{N+1}) ride lane-stacked through a single carry
-    resolution with one extra spill limb; the spill value (0/1 for a−m,
-    1/2 for a−2m) selects the reduced result — sweep count 2 → 1 for the
-    fused fold's tail (v3 kernel: 4 sweeps → 3)."""
+def _redc_tail_T(u16: jnp.ndarray, q_wide: jnp.ndarray, l: int, kmax: int) -> jnp.ndarray:
+    """REDC tail in ONE Kogge-Stone sweep: lazy u (value < (kmax+1)·q·R,
+    u ≡ 0 mod R) → canonical (u/R) mod q on l limbs.
+
+    The candidates u − k·qR for k = 0..kmax ride lane-stacked through a
+    single carry resolution (two's complement of k·q aligned at limb l,
+    i.e. adding k·2^{N'} − k·qR with N' = 16·(2l+2)); one extra spill limb
+    carries the exact overflow count, so candidate k's spill is
+    (u − k·qR + k·2^{N'}) ≫ N' = k when u ≥ k·qR and k−1 otherwise.  The
+    LARGEST k whose spill equals k yields the reduced quotient.  Replaces
+    resolve-u + kmax sequential conditional subtractions (3 sweeps → 1 in
+    the fused fold, 2 → 1 in the scalar mont-mul)."""
     from ..ops.pallas_field import MASK16, _resolve_carries_T, _shift_down_T
 
-    l1, w = a.shape
-    nm = jnp.broadcast_to(m ^ MASK16, a.shape)  # ~m per 16-bit limb
-    t1 = a + nm
-    t1 = jnp.concatenate([t1[:1] + 1, t1[1:]], axis=0)  # a − m + 2^N
-    t2 = a + nm + nm
-    t2 = jnp.concatenate([t2[:1] + 2, t2[1:]], axis=0)  # a − 2m + 2^{N+1}
-    x = jnp.concatenate([t1, t2], axis=1)  # (l1, 2W) lazy ≤ 3·(2^16−1)+2
+    rows = 2 * l + 2
+    w = u16.shape[1]
+    u = u16[:rows]
+    if u16.shape[0] < rows:
+        u = jnp.concatenate(
+            [u16, jnp.zeros((rows - u16.shape[0], w), jnp.uint32)], axis=0
+        )
+    qw = q_wide.reshape(-1)  # (l+1,)
+    # ñ = two's complement of q over l+2 limbs (so k·2^{16(l+2)} overflows
+    # into the spill limb when subtracting k·q at offset l)
+    nq = jnp.concatenate([qw ^ MASK16, jnp.full((1,), MASK16, jnp.uint32)])
+    cands = []
+    for k in range(kmax + 1):
+        if k == 0:
+            cands.append(u)
+            continue
+        addend = k * nq  # lazy, ≤ kmax·(2^16−1) < 2^18
+        addend = jnp.concatenate([addend[:1] + k, addend[1:]])  # +k: ~q·k + k = −k·q
+        shifted = jnp.concatenate(
+            [jnp.zeros((l, w), jnp.uint32), jnp.broadcast_to(addend[:, None], (l + 2, w))],
+            axis=0,
+        )
+        cands.append(u + shifted)
+    x = jnp.concatenate(cands, axis=1)  # (2l+2, (kmax+1)·W)
     x = jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], jnp.uint32)], axis=0)
-    x = (x & MASK16) + _shift_down_T(x >> 16, 1)  # ≤ 2^16+2: resolver-safe
+    x = (x & MASK16) + _shift_down_T(x >> 16, 1)  # ≤ 2^16+2^15: resolver-safe
     out = _resolve_carries_T(x)
-    d1, d2 = out[:l1, :w], out[:l1, w:]
-    s1, s2 = out[l1, :w], out[l1, w:]  # spill limbs: exact carry counts
-    return jnp.where((s2 == 2)[None, :], d2, jnp.where((s1 == 1)[None, :], d1, a))
+    res = out[l : 2 * l + 1, :w]  # k = 0 quotient (u/R, < (kmax+1)·q)
+    for k in range(1, kmax + 1):
+        dk = out[l : 2 * l + 1, k * w : (k + 1) * w]
+        sk = out[2 * l + 2, k * w : (k + 1) * w]  # exact spill count
+        res = jnp.where((sk == k)[None, :], dk, res)  # u ≥ k·qR → take u−k·qR
+    return res[:l]
 
 
 def _scalar_fold_mxu(kctx, v0, v1, trt2, tmt, tqt):
@@ -299,8 +322,9 @@ def _scalar_fold_mxu(kctx, v0, v1, trt2, tmt, tqt):
     Toeplitz `trt2` = [T(â) | T(r̂)] (per-column sums ≤ (4l+2)·255², under
     the f32 integer-exactness bound 2^24 for every supported l ≤ 64), and
     the v2 chain's separate mont_sub (2 sweeps) and mont_add (2 sweeps)
-    vanish — 7 Kogge-Stone sweeps per block → 4 → 3 (the two conditional
-    subtractions fuse into one lane-stacked sweep, _cond_sub2_T).
+    vanish — 7 Kogge-Stone sweeps per block → 4 → 2 (resolve-u and both
+    conditional subtractions fuse into one lane-stacked sweep,
+    _redc_tail_T).
 
     Bound: u = (t + m·q)/R ≤ q + 2(q−1)²/R < 3q for ANY q < R (when
     q ≤ R/2 even u < 2q), so two conditional subtractions canonicalize.
@@ -314,9 +338,7 @@ def _scalar_fold_mxu(kctx, v0, v1, trt2, tmt, tqt):
     m = _carry_sweep_T(m16, l)  # sweep 1
     u8 = jnp.dot(tqt, _bf16(_split8_B(m)), preferred_element_type=jnp.float32)
     u16 = _combine8_T(_u32(u8) + t8)
-    s = _carry_sweep_T(u16, 2 * l + 2)  # sweep 2
-    res = _cond_sub2_T(s[l : 2 * l + 1], kctx.q_wide[:, None])  # sweep 3 (fused ×2)
-    return res[:l]
+    return _redc_tail_T(u16, kctx.q_wide, l, kmax=2)  # sweep 2: ÷R + mod q
 
 
 def _nt_dot_chunked(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

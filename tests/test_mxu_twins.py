@@ -177,18 +177,20 @@ def test_gruen_ref_four_factor_term():
     assert got == host
 
 
-def test_redc_tail_boundaries():
+@pytest.mark.parametrize("q", [(1 << 255) + 95, (1 << 256) - 189])
+def test_redc_tail_boundaries(q):
     """The single-sweep REDC tail (resolve + divide-by-R + mod-q with
     lane-stacked candidates) must reduce u = x*R correctly at every
     boundary of [0, 3q) - random fold values land in [2q, 3q) with
-    probability ~0.02%, so the k=2 branch needs directed vectors."""
+    probability ~0.02% at the default q, so the k=2 branch needs directed
+    vectors; the second q is the largest 256-bit prime (3q-1 nearly
+    saturates the 2l+2-limb grid)."""
     from zinc_tpu.fields.limbs import int_to_limbs, limbs_to_int
-    from zinc_tpu.fields.montgomery import device_field as _df
     from zinc_tpu.sumcheck.mxu_exec import _redc_tail_T
 
-    q = CFG.q
-    l = CFG.n16
-    ctx = device_field(CFG)
+    cfg = FieldConfig(q, 4)
+    l = cfg.n16
+    ctx = device_field(cfg)
     rng = random.Random(6)
     vals = [0, 1, q - 1, q, q + 1, 2 * q - 1, 2 * q, 2 * q + 1, 3 * q - 1]
     vals += [rng.randrange(3 * q) for _ in range(23)]
@@ -204,3 +206,25 @@ def test_redc_tail_boundaries():
         for i, v in enumerate(vals):
             if v < cap:
                 assert limbs_to_int(got[:, i]) == v % q, (kmax, v)
+
+
+def test_fold_lm_ref_near_R_prime():
+    """Fold twin at q = 2^256 − 189 (the largest 256-bit prime): with
+    q/R ≈ 1 the fused fold's u/R ranges up to ~2.97q, so the REDC tail's
+    k = 2 candidate is selected by TYPICAL vectors rather than only
+    directed ones (at the default q = 2^255+95 that region has measure
+    ~2^-13 per element)."""
+    cfgR = FieldConfig((1 << 256) - 189, 4)
+    assert cfgR.n16 == 16
+    b = 4 * TILE
+    ctx = device_field(cfgR)
+    rng = random.Random(7)
+    mles = [[cfgR.fp(rng.randrange(cfgR.q)) for _ in range(b)] for _ in range(2)]
+    tabs = np.stack([np.asarray(fps_to_limbs(m, cfgR)) for m in mles])
+    buf = _to_lm(jnp.asarray(tabs), b)
+    r = cfgR.fp(rng.randrange(cfgR.q))
+    r_limbs = jnp.asarray(fps_to_limbs([r], cfgR)[0])
+    folded = fold_lm_ref(ctx, buf, r_limbs, b // (4 * TILE))
+    got = np.asarray(_from_lm(folded, b // 2))
+    want = np.stack([np.asarray(fps_to_limbs(m, cfgR)) for m in _fold(mles, r)])
+    assert np.array_equal(got, want)

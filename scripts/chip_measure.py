@@ -35,11 +35,11 @@ def _setup():
     return ccs, statement, wit, zt, t, cfg
 
 
-def run_prove(n_runs=4):
+def run_prove(n_runs=4, setup=None):
     from zinc_tpu.transcript import KeccakTranscript
     from zinc_tpu.zinc import ZincProver
 
-    ccs, statement, wit, zt, t0, cfg = _setup()
+    ccs, statement, wit, zt, t0, cfg = setup if setup is not None else _setup()
     times = []
     proof = None
     for i in range(n_runs):
@@ -63,8 +63,9 @@ def run_verify(n_runs=3):
     from zinc_tpu.transcript import KeccakTranscript
     from zinc_tpu.zinc import ZincVerifier
 
-    ccs, statement, wit, zt, t0, cfg = _setup()
-    proof, cfg = run_prove(n_runs=1)
+    setup = _setup()
+    ccs, statement, wit, zt, t0, cfg = setup
+    proof, cfg = run_prove(n_runs=1, setup=setup)
     times = []
     for i in range(n_runs):
         start = time.perf_counter()

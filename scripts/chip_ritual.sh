@@ -12,7 +12,9 @@ step() {  # step <name> <timeout-s> <cmd...>
   local name=$1 to=$2; shift 2
   echo "=== $name ($(date +%H:%M:%S)) ==="
   timeout "$to" "$@" >"$LOGDIR/$name.log" 2>&1
-  echo "--- $name exit=$? tail:"; tail -5 "$LOGDIR/$name.log"
+  local rc=$?
+  echo "--- $name exit=$rc tail:"; tail -5 "$LOGDIR/$name.log"
+  return $rc
 }
 
 # 0. tunnel smoke (fail fast if it's down again)

@@ -17,7 +17,13 @@ Public API (the equivalent of the reference's ``zinc::prelude``,
 def _enable_compilation_cache() -> None:
     """Persist XLA compilations (~10 s per sumcheck-round shape over the
     tunnel AOT; a prove touches dozens of shapes).  Opt out with
-    ZINC_TPU_NO_COMPCACHE=1."""
+    ZINC_TPU_NO_COMPCACHE=1.
+
+    The backend choice is read from the JAX_PLATFORMS env var, NOT from
+    ``jax.default_backend()`` — querying the backend at import time would
+    initialize XLA and make ``parallel.init_distributed`` (which must run
+    before any backend init) impossible for any process that imports this
+    package first."""
     import os
 
     if os.environ.get("ZINC_TPU_NO_COMPCACHE"):
@@ -25,7 +31,7 @@ def _enable_compilation_cache() -> None:
     try:
         import jax
 
-        if jax.default_backend() == "cpu":
+        if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
             # XLA:CPU AOT cache entries pin host machine features and can
             # SIGILL across runners; compiles are cheap there anyway.
             return

@@ -21,7 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MASK16 = jnp.uint32(0xFFFF)
+# plain int (weak-typed) — a jnp scalar here would initialize the XLA
+# backend at IMPORT time and break jax.distributed bringup (mesh.py)
+MASK16 = 0xFFFF
 
 
 def sign_extend(limbs: jnp.ndarray, out_l: int) -> jnp.ndarray:

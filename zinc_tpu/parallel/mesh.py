@@ -45,13 +45,16 @@ def init_distributed(
     or any TPU-pod metadata jax auto-detects) are used.  Returns True when
     a multi-process runtime is (already or newly) active, False for
     single-process runs — callers fall back to local meshes.  Safe to call
-    twice (the second call is a no-op)."""
-    if jax.process_count() > 1:
-        return True
+    twice (the second call is a no-op).
+
+    MUST run before any JAX call that initializes the XLA backends (even
+    ``jax.process_count()`` does) — so coordinates are inspected FIRST and
+    ``jax.distributed.initialize`` is attempted straight away; backend-
+    touching calls happen only after it."""
     coord = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = num_processes or os.environ.get("JAX_NUM_PROCESSES")
     if coord is None and nproc is None:
-        return False
+        return jax.process_count() > 1
     try:
         jax.distributed.initialize(
             coordinator_address=coord,
@@ -63,10 +66,22 @@ def init_distributed(
             ),
         )
     except RuntimeError as e:
-        # only the double-initialize case is benign; a dead coordinator /
-        # port conflict must NOT silently degrade every worker to a lonely
-        # single-process prove
-        if "already" not in str(e).lower():
+        msg = str(e).lower()
+        if "already" in msg:
+            pass  # double-initialize: benign no-op
+        elif "before any jax calls" in msg:
+            # the backends were already brought up in this process — DCN
+            # can no longer attach; surface an actionable error instead of
+            # jax's generic one
+            raise RuntimeError(
+                "init_distributed() must be called before any other JAX "
+                "use in this process (imports are fine; device/backend "
+                "queries are not) — move it to the top of the worker's "
+                "main()"
+            ) from e
+        else:
+            # a dead coordinator / port conflict must NOT silently degrade
+            # every worker to a lonely single-process prove
             raise
     return jax.process_count() > 1
 
@@ -89,12 +104,23 @@ def hierarchical_mesh(
 
         hosts = hosts or jax.process_count()
         chips_per_host = chips_per_host or jax.local_device_count()
-        devs = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, chips_per_host),
-            dcn_mesh_shape=(hosts, 1),
-            devices=jax.devices(),
-        )
-        return Mesh(devs.reshape(hosts, chips_per_host), axes)
+        try:
+            devs = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(1, chips_per_host),
+                dcn_mesh_shape=(hosts, 1),
+                devices=jax.devices(),
+            )
+            return Mesh(devs.reshape(hosts, chips_per_host), axes)
+        except ValueError:
+            # devices without slice attributes (CPU multi-process runs,
+            # single-slice pods): group by process — "host" still crosses
+            # the DCN/process boundary, "chip" stays process-local
+            devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+            if len(devs) != hosts * chips_per_host:
+                raise ValueError(
+                    f"need {hosts * chips_per_host} devices, have {len(devs)}"
+                ) from None
+            return Mesh(np.array(devs).reshape(hosts, chips_per_host), axes)
     devs = jax.devices()
     if hosts is None or chips_per_host is None:
         raise ValueError("single-process hierarchical_mesh needs explicit shape")
@@ -123,6 +149,19 @@ def local_mesh_2d(rows: int, cols: int, axes: tuple[str, str] = ("r", "c")) -> M
     if len(devs) < rows * cols:
         raise ValueError(f"need {rows * cols} devices, have {len(devs)}")
     return Mesh(np.array(devs[: rows * cols]).reshape(rows, cols), axes)
+
+
+def fetch_global(arr) -> np.ndarray:
+    """Host copy of a (possibly mesh-sharded) global array.
+
+    ``np.asarray`` raises on a multi-process (DCN) mesh where remote
+    shards are not process-addressable; there the value is closed with a
+    ``process_allgather`` instead."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
 def shard_on_axis(mesh: Mesh, arr, dim: int):

@@ -31,6 +31,11 @@ from ..poly.device import fps_to_limbs, limbs_to_fp
 from ..sumcheck.device import DeviceSumcheckExecutor, _final_fold, _round_body
 
 
+# demotion remainders are tiny (≤ O(D·TILE) lanes) so the multi-process
+# allgather inside fetch_global is negligible
+from .mesh import fetch_global as _fetch_global
+
+
 @lru_cache(maxsize=64)
 def _sharded_round_fn(mesh: Mesh, ctx: DeviceField, first: bool, degree: int, idx_terms: tuple):
     # the hypercube axis is sharded over ALL mesh axes (works for 1-D and
@@ -221,7 +226,7 @@ class ShardedLmSumcheckExecutor:
         """(n_mles, D·active_local, L) batch-major global remainder."""
         from ..sumcheck.mxu_exec import _bitrev
 
-        arr = np.asarray(self.buf)  # (n_mles, l, B) — device blocks concatenated
+        arr = _fetch_global(self.buf)  # (n_mles, l, B) — device blocks concatenated
         n_mles, l, _ = arr.shape
         act = self.active_local
         rev = _bitrev(act) if act > 1 else np.zeros(1, np.int64)
@@ -540,7 +545,8 @@ class ShardedSumcheckExecutor:
         need = 2 * d if self._first else 4 * d
         if b < need or (b // d) % 2 != 0:
             gathered = jax.device_put(
-                self.tables, NamedSharding(self.mesh, P(None, None, None))
+                jnp.asarray(_fetch_global(self.tables)),
+                NamedSharding(self.mesh, P(None, None, None)),
             )
             self._inner = DeviceSumcheckExecutor(
                 self.cfg, gathered, self.degree, self._comb
@@ -569,7 +575,8 @@ class ShardedSumcheckExecutor:
             b, d = self.tables.shape[1], self.mesh.size
             if b < 2 * d or (b // d) % 2 != 0:
                 gathered = jax.device_put(
-                    self.tables, NamedSharding(self.mesh, P(None, None, None))
+                    jnp.asarray(_fetch_global(self.tables)),
+                    NamedSharding(self.mesh, P(None, None, None)),
                 )
                 self._inner = DeviceSumcheckExecutor(
                     self.cfg, gathered, self.degree, self._comb
@@ -584,6 +591,6 @@ class ShardedSumcheckExecutor:
     def final_values(self) -> list[Fp]:
         if self._inner is not None:
             return self._inner.final_values()
-        tables = np.asarray(self.tables)
+        tables = _fetch_global(self.tables)
         assert tables.shape[1] == 1
         return [limbs_to_fp(tables[i, 0], self.cfg) for i in range(tables.shape[0])]

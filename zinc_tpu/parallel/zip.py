@@ -24,6 +24,7 @@ from ..fields.limbs import i64_to_limbs, ints_to_limbs
 from ..ops.blake3_kernel import merkle_tree_device
 from ..zip.device import DeviceZipData
 from ..zip.pcs import ZipCommitment, ZipParams
+from .mesh import fetch_global
 
 
 @lru_cache(maxsize=32)
@@ -81,8 +82,8 @@ def commit_device_sharded(
     fn = _sharded_commit_fn(mesh, row_len, rep, lk, pp.zt.k_words, n_levels)
     enc, layers_dev = fn(rows, jnp.asarray(p1), jnp.asarray(p2))
 
-    enc_np = np.asarray(enc.astype(jnp.uint16))
-    layers = [np.asarray(l) for l in layers_dev]
+    enc_np = fetch_global(enc.astype(jnp.uint16))
+    layers = [fetch_global(l) for l in layers_dev]
     roots = [layers[-1][r, 0].astype("<u4").tobytes() for r in range(num_rows)]
     return DeviceZipData(enc_np, layers, roots), ZipCommitment(roots)
 
@@ -206,8 +207,8 @@ def commit_device_sharded_2d(
     fn = _sharded_commit_fn_2d(mesh, row_len, rep, lk, pp.zt.k_words, cw)
     enc, sub_layers, top_layers = fn(rows, jnp.asarray(p1), jnp.asarray(p2))
 
-    enc_np = np.asarray(enc.astype(jnp.uint16))
-    layers = [np.asarray(l) for l in sub_layers] + [np.asarray(l) for l in top_layers]
+    enc_np = fetch_global(enc.astype(jnp.uint16))
+    layers = [fetch_global(l) for l in sub_layers] + [fetch_global(l) for l in top_layers]
     roots = [layers[-1][r, 0].astype("<u4").tobytes() for r in range(num_rows)]
     return DeviceZipData(enc_np, layers, roots), ZipCommitment(roots)
 

@@ -55,10 +55,8 @@ from ..fields.config import FieldConfig, Fp
 from ..fields.montgomery import DeviceField, device_field
 from ..ops.pallas_field import (
     _carry_sweep_T,
-    _cond_sub_T,
     _const_specs,
     _ctx_consts,
-    _mont_add_T,
     _mont_sub_T,
     _mul_columns_T,
     _unpack_ctx,
@@ -245,24 +243,6 @@ def _r_toeplitz(r: jnp.ndarray, l: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _scalar_mont_mul_mxu(kctx, d, trt, tmt, tqt):
-    """mont_mul(r, d) for a shared scalar r encoded in `trt`, limb-major
-    (l, W).  Value-identical to _mont_mul_T (same REDC chain)."""
-    l = kctx.n16
-    d8 = _bf16(_split8_B(d))  # (2l, W)
-    # t = r·d — full product as 8-bit position columns (≤ 2l·255² < 2^22)
-    t8 = _u32(jnp.dot(trt, d8, preferred_element_type=jnp.float32))  # (4l, W)
-    # m = (t mod R)·N′ mod R — fed by byte planes of t's low half (no sweep)
-    t_bytes = _bf16(_bytes3_pos_B(t8[: 2 * l]))  # (6l, W)
-    m8 = jnp.dot(tmt, t_bytes, preferred_element_type=jnp.float32)  # (2l, W) ≤ 96·255²
-    m16 = _combine8_T(_u32(m8))  # (l, W) lazy ≤ 2^30.6
-    m = _carry_sweep_T(m16, l)  # canonical, wrapped mod R
-    # u = t + m·q (merge the two lazy 8-bit position grids, one combine)
-    u8 = jnp.dot(tqt, _bf16(_split8_B(m)), preferred_element_type=jnp.float32)
-    u16 = _combine8_T(_u32(u8) + t8)  # (2l, W) lazy ≤ 2^30
-    return _redc_tail_T(u16, kctx.q_wide, l, kmax=1)  # ONE sweep: ÷R + mod q
-
-
 def _redc_tail_T(u16: jnp.ndarray, q_wide: jnp.ndarray, l: int, kmax: int) -> jnp.ndarray:
     """REDC tail in ONE Kogge-Stone sweep: lazy u (value < (kmax+1)·q·R,
     u ≡ 0 mod R) → canonical (u/R) mod q on l limbs.
@@ -274,7 +254,7 @@ def _redc_tail_T(u16: jnp.ndarray, q_wide: jnp.ndarray, l: int, kmax: int) -> jn
     (u − k·qR + k·2^{N'}) ≫ N' = k when u ≥ k·qR and k−1 otherwise.  The
     LARGEST k whose spill equals k yields the reduced quotient.  Replaces
     resolve-u + kmax sequential conditional subtractions (3 sweeps → 1 in
-    the fused fold, 2 → 1 in the scalar mont-mul)."""
+    the fused fold; kmax=1 suffices when the caller guarantees u < 2qR)."""
     from ..ops.pallas_field import MASK16, _resolve_carries_T, _shift_down_T
 
     rows = 2 * l + 2
@@ -397,39 +377,48 @@ def _e_positions(erow: int, l: int) -> np.ndarray:
     return _pos_bytes3(2 * l)  # _bytes3_B of lazy (2l) cols
 
 
+def _g_term_evals_host(cfg: FieldConfig, g, meta, coeff: Fp, degree: int) -> list[Fp]:
+    """Exact host decode of ONE term: G byte planes → [coeff·S_term(t)]
+    for t = 0..degree.  ``meta`` = (rest, npj, prow, ne, erow) — the shared
+    body of the classic and Gruen decoders."""
+    rest, npj, prow, ne, erow = meta
+    l = cfg.n16
+    g = np.asarray(g, np.int64)  # (ne·npj, 3, erow, prow)
+    vals = g[:, 0] + (g[:, 1] << 8) + (g[:, 2] << 16)  # (ne·npj, erow, prow)
+    e_pos = _e_positions(erow, l)
+    p_pos = _p_positions(npj, prow, l)
+    flat_pos = (e_pos[:, None] + p_pos[None, :]).ravel()
+    gi = []
+    for k in range(ne * npj):
+        # per-position sums ≤ 288·2^42 < 2^53: exact in f64 bincount
+        sums = np.bincount(flat_pos, weights=vals[k].ravel().astype(np.float64))
+        total = 0
+        for p, s in enumerate(sums):
+            total += int(s) << (8 * p)
+        gi.append(total)
+    w = _point_weights(ne, npj, degree)
+    k_scale = len(rest) + 1
+    out = []
+    for t in range(degree + 1):
+        acc = 0
+        for a in range(ne):
+            for j in range(npj):
+                acc += int(w[t, a, j]) * gi[a * npj + j]
+        m = acc % cfg.q  # ≡ S_term(t)·R^k_scale
+        for _ in range(k_scale - 1):
+            m = cfg.mont_mul(m, 1)  # ÷R per step → S_term(t)·R
+        out.append(coeff * Fp(m, cfg))
+    return out
+
+
 def g_to_evals_host(
     cfg: FieldConfig, g_arrays, comb, terms, degree: int
 ) -> list[Fp]:
     """Exact host decode: G byte planes → Σ-claims at points 0..degree."""
-    l = cfg.n16
     evals = [cfg.zero() for _ in range(degree + 1)]
-    for (coeff, _idxs), (e_idx, rest, npj, prow, ne, erow), g in zip(
-        comb, terms, g_arrays
-    ):
-        g = np.asarray(g, np.int64)  # (ne·npj, 3, erow, prow)
-        vals = g[:, 0] + (g[:, 1] << 8) + (g[:, 2] << 16)  # (ne·npj, erow, prow)
-        e_pos = _e_positions(erow, l)
-        p_pos = _p_positions(npj, prow, l)
-        flat_pos = (e_pos[:, None] + p_pos[None, :]).ravel()
-        gi = []
-        for k in range(ne * npj):
-            # per-position sums ≤ 288·2^42 < 2^53: exact in f64 bincount
-            sums = np.bincount(flat_pos, weights=vals[k].ravel().astype(np.float64))
-            total = 0
-            for p, s in enumerate(sums):
-                total += int(s) << (8 * p)
-            gi.append(total)
-        w = _point_weights(ne, npj, degree)
-        k_scale = len(rest) + 1
-        for t in range(degree + 1):
-            acc = 0
-            for a in range(ne):
-                for j in range(npj):
-                    acc += int(w[t, a, j]) * gi[a * npj + j]
-            m = acc % cfg.q  # ≡ S_term(t)·R^k_scale
-            for _ in range(k_scale - 1):
-                m = cfg.mont_mul(m, 1)  # ÷R per step → S_term(t)·R
-            evals[t] = evals[t] + coeff * Fp(m, cfg)
+    for (coeff, _idxs), meta, g in zip(comb, terms, g_arrays):
+        for t, v in enumerate(_g_term_evals_host(cfg, g, meta[1:], coeff, degree)):
+            evals[t] = evals[t] + v
     return evals
 
 
@@ -978,34 +967,10 @@ def gruen_g_to_evals_host(
     """Exact host decode of Gruen G planes → s_j(0..degree).
 
     s_j(t) = pref · ((1−β_j)(1−t) + β_j·t) · Σ_i coeff_i·h_i(t)."""
-    l = cfg.n16
     h_evals = [cfg.zero() for _ in range(degree + 1)]
-    for (coeff, _idxs), (rest, npj, prow, ne, erow), g in zip(
-        comb, terms, g_arrays
-    ):
-        g = np.asarray(g, np.int64)  # (ne·npj, 3, erow, prow)
-        vals = g[:, 0] + (g[:, 1] << 8) + (g[:, 2] << 16)
-        e_pos = _e_positions(erow, l)
-        p_pos = _p_positions(npj, prow, l)
-        flat_pos = (e_pos[:, None] + p_pos[None, :]).ravel()
-        gi = []
-        for k in range(ne * npj):
-            sums = np.bincount(flat_pos, weights=vals[k].ravel().astype(np.float64))
-            total = 0
-            for p, s in enumerate(sums):
-                total += int(s) << (8 * p)
-            gi.append(total)
-        w = _point_weights(ne, npj, degree)
-        k_scale = len(rest) + 1
-        for t in range(degree + 1):
-            acc = 0
-            for a in range(ne):
-                for j in range(npj):
-                    acc += int(w[t, a, j]) * gi[a * npj + j]
-            m = acc % cfg.q
-            for _ in range(k_scale - 1):
-                m = cfg.mont_mul(m, 1)
-            h_evals[t] = h_evals[t] + coeff * Fp(m, cfg)
+    for (coeff, _idxs), meta, g in zip(comb, terms, g_arrays):
+        for t, v in enumerate(_g_term_evals_host(cfg, g, meta, coeff, degree)):
+            h_evals[t] = h_evals[t] + v
     one = cfg.one()
     out = []
     for t in range(degree + 1):
@@ -1036,68 +1001,12 @@ def gruen_g_to_evals_device(
     evaluations in Montgomery form — device-FS twin of
     :func:`gruen_g_to_evals_host`.  ``beta_j``/``pref`` are (L,) Montgomery
     limbs of the round's β and the ratcheted prefix Π_{k<j} eq(β_k, r_k)."""
-    from ..fields.montgomery import mod_reduce_wide, mont_add, mont_mul
+    from ..fields.montgomery import mont_add, mont_mul
 
     l = ctx.n16
-    onev = jnp.zeros((l,), jnp.uint32).at[0].set(1)
-    r2 = jnp.asarray(ctx.r2)
-    ssum = None  # Σ_i coeff_i·h_i(t): (degree+1, l) Montgomery
-    for term_i, ((rest, npj, prow, ne, erow), g) in enumerate(
-        zip(terms, g_arrays)
-    ):
-        nk = ne * npj
-        m_np, npos = _onehot_positions_np(erow, npj, prow, l)
-        m = jnp.asarray(m_np)
-        flat = g.reshape(nk, 3, erow * prow).astype(jnp.int32)
-        # 12-bit split keeps every f32 contraction exact (≤ 2^11·2^12 < 2^24)
-        lo = (flat & 0xFFF).astype(jnp.float32)
-        hi = (flat >> 12).astype(jnp.float32)
-        s_pl = (
-            jnp.einsum("kpm,mn->kpn", lo, m, precision="highest").astype(jnp.uint32)
-            + (jnp.einsum("kpm,mn->kpn", hi, m, precision="highest").astype(jnp.uint32) << 12)
-        )  # (nk, 3, npos) ≤ 2^25
-        by = _bytes_scan(s_pl)  # (nk, 3, npos+4) canonical bytes per plane
-        padded = jnp.concatenate([by, jnp.zeros((nk, 3, 2), jnp.uint32)], axis=-1)
-        lazy = (
-            padded[:, 0, :]
-            + jnp.roll(padded[:, 1, :], 1, axis=-1)
-            + jnp.roll(padded[:, 2, :], 2, axis=-1)
-        )
-        by2 = _bytes_scan(lazy)  # (nk, npos+10)
-        wpos = by2.shape[-1]
-        if wpos & 1:
-            by2 = jnp.concatenate([by2, jnp.zeros((nk, 1), jnp.uint32)], axis=-1)
-            wpos += 1
-        limbs = by2[:, 0::2] + (by2[:, 1::2] << 8)  # (nk, W16) canonical
-        w16 = limbs.shape[-1]
-        nch = (w16 + l - 1) // l
-        if nch * l != w16:
-            limbs = jnp.concatenate(
-                [limbs, jnp.zeros((nk, nch * l - w16), jnp.uint32)], axis=-1
-            )
-        chunks = [
-            mod_reduce_wide(ctx, limbs[:, j * l : (j + 1) * l]) for j in range(nch)
-        ]
-        h = chunks[-1]
-        for j in range(nch - 2, -1, -1):
-            h = mont_add(ctx, mont_mul(ctx, h, r2), chunks[j])  # (nk, l), G mod q
-        w_limbs = jnp.asarray(_w_mont_np(ctx.modulus, l, ne, npj, degree))
-        k_scale = len(rest) + 1
-        coeff = comb_coeff_limbs[term_i]
-        term_evals = []
-        for t in range(degree + 1):
-            acc = None
-            for a in range(ne):
-                for j in range(npj):
-                    part = mont_mul(ctx, w_limbs[t, a, j], h[a * npj + j])
-                    acc = part if acc is None else mont_add(ctx, acc, part)
-            for _ in range(k_scale - 1):
-                acc = mont_mul(ctx, acc, onev)  # ÷R → S_term(t)·R
-            term_evals.append(mont_mul(ctx, coeff, acc))
-        stacked = jnp.stack(term_evals)  # (degree+1, l)
-        ssum = stacked if ssum is None else jax.vmap(
-            lambda a, b: mont_add(ctx, a, b)
-        )(ssum, stacked)
+    # Σ_i coeff_i·h_i(t): (degree+1, l) Montgomery (gruen metas are already
+    # (rest, npj, prow, ne, erow) — no e_idx to strip)
+    ssum = _g_sum_terms_device(ctx, g_arrays, comb_coeff_limbs, terms, degree)
     # s_j(t) = pref · c_t · ssum[t],  c_t = (1−β_j)·(1−t) + β_j·t
     tc = jnp.asarray(_tconst_mont_np(ctx.modulus, l, degree))
     omb = _one_minus_limbs(ctx, beta_j)
@@ -1229,72 +1138,86 @@ def _bytes_scan(vals: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(out, 0, -1)
 
 
-def g_to_evals_device(ctx: DeviceField, g_arrays, comb_coeff_limbs, terms, degree: int):
-    """Exact on-device decode: per-term G byte planes → (degree+1, L) evals
-    in Montgomery form — the device-FS twin of ``g_to_evals_host``."""
+def _g_term_evals_device(ctx: DeviceField, g, meta, coeff, degree: int):
+    """Exact on-device decode of ONE term: G byte planes → (degree+1, L)
+    coeff·S_term(t) in Montgomery form.  ``meta`` = (rest, npj, prow, ne,
+    erow) — the shared body of the classic and Gruen device decoders."""
     from ..fields.montgomery import mod_reduce_wide, mont_add, mont_mul
 
+    rest, npj, prow, ne, erow = meta
     l = ctx.n16
     onev = jnp.zeros((l,), jnp.uint32).at[0].set(1)
     r2 = jnp.asarray(ctx.r2)
-    evals = None
-    for term_i, ((e_idx, rest, npj, prow, ne, erow), g) in enumerate(
-        zip(terms, g_arrays)
-    ):
-        nk = ne * npj
-        m_np, npos = _onehot_positions_np(erow, npj, prow, l)
-        m = jnp.asarray(m_np)
-        flat = g.reshape(nk, 3, erow * prow).astype(jnp.int32)
-        # 12-bit split keeps every f32 contraction exact (≤ 2^11·2^12 < 2^24)
-        lo = (flat & 0xFFF).astype(jnp.float32)
-        hi = (flat >> 12).astype(jnp.float32)
-        s_pl = (
-            jnp.einsum("kpm,mn->kpn", lo, m, precision="highest").astype(jnp.uint32)
-            + (jnp.einsum("kpm,mn->kpn", hi, m, precision="highest").astype(jnp.uint32) << 12)
-        )  # (nk, 3, npos) ≤ 2^25
-        by = _bytes_scan(s_pl)  # canonical bytes per plane, (nk, 3, npos+4)
-        padded = jnp.concatenate(
-            [by, jnp.zeros((nk, 3, 2), jnp.uint32)], axis=-1
+    nk = ne * npj
+    m_np, npos = _onehot_positions_np(erow, npj, prow, l)
+    m = jnp.asarray(m_np)
+    flat = g.reshape(nk, 3, erow * prow).astype(jnp.int32)
+    # 12-bit split keeps every f32 contraction exact (≤ 2^11·2^12 < 2^24)
+    lo = (flat & 0xFFF).astype(jnp.float32)
+    hi = (flat >> 12).astype(jnp.float32)
+    s_pl = (
+        jnp.einsum("kpm,mn->kpn", lo, m, precision="highest").astype(jnp.uint32)
+        + (jnp.einsum("kpm,mn->kpn", hi, m, precision="highest").astype(jnp.uint32) << 12)
+    )  # (nk, 3, npos) ≤ 2^25
+    by = _bytes_scan(s_pl)  # canonical bytes per plane, (nk, 3, npos+4)
+    padded = jnp.concatenate([by, jnp.zeros((nk, 3, 2), jnp.uint32)], axis=-1)
+    lazy = (
+        padded[:, 0, :]
+        + jnp.roll(padded[:, 1, :], 1, axis=-1)
+        + jnp.roll(padded[:, 2, :], 2, axis=-1)
+    )  # byte plane pl sits one position higher per plane; rolls are safe
+    #   because the 2 appended zero positions absorb the wrap
+    by2 = _bytes_scan(lazy)  # (nk, npos+10) canonical bytes
+    wpos = by2.shape[-1]
+    if wpos & 1:
+        by2 = jnp.concatenate([by2, jnp.zeros((nk, 1), jnp.uint32)], axis=-1)
+        wpos += 1
+    limbs = by2[:, 0::2] + (by2[:, 1::2] << 8)  # (nk, W16) canonical
+    # chunk-Horner mod q: G = Σ chunk_j·R^j, h ← h·R + chunk (×R via r2)
+    w16 = limbs.shape[-1]
+    nch = (w16 + l - 1) // l
+    if nch * l != w16:
+        limbs = jnp.concatenate(
+            [limbs, jnp.zeros((nk, nch * l - w16), jnp.uint32)], axis=-1
         )
-        lazy = (
-            padded[:, 0, :]
-            + jnp.roll(padded[:, 1, :], 1, axis=-1)
-            + jnp.roll(padded[:, 2, :], 2, axis=-1)
-        )  # byte plane pl sits one position higher per plane; rolls are safe
-        #   because the 2 appended zero positions absorb the wrap
-        by2 = _bytes_scan(lazy)  # (nk, npos+10) canonical bytes
-        wpos = by2.shape[-1]
-        if wpos & 1:
-            by2 = jnp.concatenate([by2, jnp.zeros((nk, 1), jnp.uint32)], axis=-1)
-            wpos += 1
-        limbs = by2[:, 0::2] + (by2[:, 1::2] << 8)  # (nk, W16) canonical
-        # chunk-Horner mod q: G = Σ chunk_j·R^j, h ← h·R + chunk (×R via r2)
-        w16 = limbs.shape[-1]
-        nch = (w16 + l - 1) // l
-        if nch * l != w16:
-            limbs = jnp.concatenate(
-                [limbs, jnp.zeros((nk, nch * l - w16), jnp.uint32)], axis=-1
-            )
-        chunks = [
-            mod_reduce_wide(ctx, limbs[:, j * l : (j + 1) * l]) for j in range(nch)
-        ]
-        h = chunks[-1]
-        for j in range(nch - 2, -1, -1):
-            h = mont_add(ctx, mont_mul(ctx, h, r2), chunks[j])  # (nk, l), G mod q
-        # point weights + scale + coefficient
-        w_limbs = jnp.asarray(_w_mont_np(ctx.modulus, l, ne, npj, degree))
-        k_scale = len(rest) + 1
-        coeff = comb_coeff_limbs[term_i]
-        term_evals = []
-        for t in range(degree + 1):
-            acc = None
-            for a in range(ne):
-                for j in range(npj):
-                    part = mont_mul(ctx, w_limbs[t, a, j], h[a * npj + j])
-                    acc = part if acc is None else mont_add(ctx, acc, part)
-            for _ in range(k_scale - 1):
-                acc = mont_mul(ctx, acc, onev)  # ÷R → S_term(t)·R
-            term_evals.append(mont_mul(ctx, coeff, acc))
-        stacked = jnp.stack(term_evals)  # (P, l)
-        evals = stacked if evals is None else jax.vmap(lambda a, b: mont_add(ctx, a, b))(evals, stacked)
+    chunks = [
+        mod_reduce_wide(ctx, limbs[:, j * l : (j + 1) * l]) for j in range(nch)
+    ]
+    h = chunks[-1]
+    for j in range(nch - 2, -1, -1):
+        h = mont_add(ctx, mont_mul(ctx, h, r2), chunks[j])  # (nk, l), G mod q
+    # point weights + scale + coefficient
+    w_limbs = jnp.asarray(_w_mont_np(ctx.modulus, l, ne, npj, degree))
+    k_scale = len(rest) + 1
+    term_evals = []
+    for t in range(degree + 1):
+        acc = None
+        for a in range(ne):
+            for j in range(npj):
+                part = mont_mul(ctx, w_limbs[t, a, j], h[a * npj + j])
+                acc = part if acc is None else mont_add(ctx, acc, part)
+        for _ in range(k_scale - 1):
+            acc = mont_mul(ctx, acc, onev)  # ÷R → S_term(t)·R
+        term_evals.append(mont_mul(ctx, coeff, acc))
+    return jnp.stack(term_evals)  # (degree+1, l)
+
+
+def _g_sum_terms_device(ctx: DeviceField, g_arrays, comb_coeff_limbs, metas, degree: int):
+    """Σ over terms of :func:`_g_term_evals_device` — (degree+1, L)."""
+    from ..fields.montgomery import mont_add
+
+    evals = None
+    for term_i, (meta, g) in enumerate(zip(metas, g_arrays)):
+        stacked = _g_term_evals_device(ctx, g, meta, comb_coeff_limbs[term_i], degree)
+        evals = stacked if evals is None else jax.vmap(
+            lambda a, b: mont_add(ctx, a, b)
+        )(evals, stacked)
     return evals
+
+
+def g_to_evals_device(ctx: DeviceField, g_arrays, comb_coeff_limbs, terms, degree: int):
+    """Exact on-device decode: per-term G byte planes → (degree+1, L) evals
+    in Montgomery form — the device-FS twin of ``g_to_evals_host``."""
+    return _g_sum_terms_device(
+        ctx, g_arrays, comb_coeff_limbs, [m[1:] for m in terms], degree
+    )

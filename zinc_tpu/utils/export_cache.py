@@ -8,11 +8,13 @@ are the largest traces in the system (minutes of the measured ~280 s cold
 traced/lowered StableHLO, so a cold process deserializes the artifact and
 goes straight to the (cached) executable: seconds instead of minutes.
 
-Keying: jax version + backend + field modulus + the kernel's static
-argument tuple + every dynamic aval — any mismatch is a different file, so
-stale artifacts can never be *loaded* for the wrong program.  Artifacts
-are written atomically; any failure (unsupported custom call, version
-drift, corrupt file) falls back to the plain jitted call.
+Keying: a content hash of the package's own sources + jax version +
+backend + field modulus + the kernel's static argument tuple + every
+dynamic aval — any mismatch is a different file, so stale artifacts can
+never be *loaded* for the wrong program (including after a kernel code
+change: the source fingerprint rotates every artifact).  Artifacts are
+written atomically; any failure (unsupported custom call, version drift,
+corrupt file) falls back to the plain jitted call.
 
 Enabled on the TPU backend by default (cold-start tax is a TPU-process
 problem; CPU test processes should not churn the cache), override with
@@ -26,6 +28,26 @@ import hashlib
 import os
 import pathlib
 import sys
+
+
+_SRC_FP: str | None = None
+
+
+def _source_fingerprint() -> str:
+    """Content hash over every .py in the zinc_tpu package (~0.4 MB, once
+    per process).  A serialized program is a function of the code that
+    traced it, so the code belongs in the cache key — without this, a
+    kernel fix with unchanged shapes/statics would silently replay the old
+    StableHLO from disk."""
+    global _SRC_FP
+    if _SRC_FP is None:
+        pkg = pathlib.Path(__file__).resolve().parents[1]
+        h = hashlib.sha256()
+        for p in sorted(pkg.rglob("*.py")):
+            h.update(str(p.relative_to(pkg)).encode())
+            h.update(p.read_bytes())
+        _SRC_FP = h.hexdigest()[:16]
+    return _SRC_FP
 
 
 def _cache_dir() -> pathlib.Path:
@@ -61,7 +83,8 @@ def cached_call(kind: str, static_key, make_fn, *dyn_args):
     )
     aval_sig = jax.tree.map(lambda a: (tuple(a.shape), str(a.dtype)), avals)
     key_src = repr(
-        (kind, jax.__version__, jax.default_backend(), static_key, aval_sig)
+        (kind, _source_fingerprint(), jax.__version__, jax.default_backend(),
+         static_key, aval_sig)
     )
     key = hashlib.sha256(key_src.encode()).hexdigest()[:32]
     path = _cache_dir() / f"{kind}-{key}.jaxexport"

@@ -300,6 +300,41 @@ class ShardedLmSumcheckExecutor:
         return [limbs_to_fp(rem[i, 0], self.cfg) for i in range(rem.shape[0])]
 
 
+def build_sharded_suffix(
+    cfg: FieldConfig, ctx: DeviceField, mesh: Mesh, eq_beta, b_local: int, d: int
+):
+    """Per-device pre-scaled flat suffix-eq buffer, lane-sharded over the
+    mesh: a local suffix buffer over the nv_local non-device variables
+    (identical on every device) times the per-device scalar
+    w_d = Π_k eq(β_{nv_local+k+1}, bit_k(d)) — the suffix-eq factorizes
+    exactly across the high-bit block sharding (see
+    ShardedGruenSumcheckExecutor)."""
+    from ..fields.montgomery import mont_mul
+    from ..sumcheck.mxu_exec import build_eq_suffix_flat
+
+    beta = list(eq_beta)
+    nv_local = b_local.bit_length() - 1
+    flat_local = build_eq_suffix_flat(
+        ctx, jnp.asarray(fps_to_limbs(beta[:nv_local], cfg)), nv_local
+    )
+    one = cfg.one()
+    n_dev_bits = d.bit_length() - 1
+    slices = []
+    for dev in range(d):
+        w = one
+        for k in range(n_dev_bits):
+            bk = beta[nv_local + k]
+            w = w * (bk if (dev >> k) & 1 else (one - bk))
+        w_l = jnp.asarray(fps_to_limbs([w], cfg)[0])
+        slices.append(np.asarray(jax.vmap(
+            lambda col: mont_mul(ctx, w_l, col), in_axes=1, out_axes=1
+        )(flat_local)))
+    return jax.device_put(
+        jnp.asarray(np.concatenate(slices, axis=1)),
+        NamedSharding(mesh, P(None, tuple(mesh.axis_names))),
+    )
+
+
 @lru_cache(maxsize=64)
 def _sharded_gruen_eval(
     mesh: Mesh, ctx: DeviceField, terms: tuple, nbh_local: int,
@@ -365,8 +400,7 @@ class ShardedGruenSumcheckExecutor(ShardedLmSumcheckExecutor):
 
     def __init__(self, cfg: FieldConfig, tables, degree: int, comb, mesh: Mesh,
                  eq_beta):
-        from ..fields.montgomery import mont_mul
-        from ..sumcheck.mxu_exec import build_eq_suffix_flat, gruen_term_meta
+        from ..sumcheck.mxu_exec import gruen_term_meta
 
         super().__init__(cfg, tables, degree, comb, mesh)
         self.eq_idx = tables.shape[0]
@@ -375,29 +409,8 @@ class ShardedGruenSumcheckExecutor(ShardedLmSumcheckExecutor):
         self.nv_local = self.b_local.bit_length() - 1
         self.pref = cfg.one()
         self.rounds_done = 0
-
-        # local flat suffix buffer (identical on every device), then one
-        # per-device scale w_d = Π_k eq(β_{nv_local+k+1}, bit_k(d))
-        flat_local = build_eq_suffix_flat(
-            self.ctx,
-            jnp.asarray(fps_to_limbs(self.beta[: self.nv_local], cfg)),
-            self.nv_local,
-        )
-        one = cfg.one()
-        n_dev_bits = self.d.bit_length() - 1
-        slices = []
-        for dev in range(self.d):
-            w = one
-            for k in range(n_dev_bits):
-                bk = self.beta[self.nv_local + k]
-                w = w * (bk if (dev >> k) & 1 else (one - bk))
-            w_l = jnp.asarray(fps_to_limbs([w], cfg)[0])
-            slices.append(np.asarray(jax.vmap(
-                lambda col: mont_mul(self.ctx, w_l, col), in_axes=1, out_axes=1
-            )(flat_local)))
-        self.e_flat = jax.device_put(
-            jnp.asarray(np.concatenate(slices, axis=1)),
-            NamedSharding(mesh, P(None, tuple(mesh.axis_names))),
+        self.e_flat = build_sharded_suffix(
+            cfg, self.ctx, mesh, self.beta, self.b_local, self.d
         )
 
     # -- demotion ------------------------------------------------------------

@@ -101,8 +101,8 @@ def spartan_prove_device(
 
     def run_sumcheck(tables, nvars, degree, comb, eq_beta=None):
         """(proof, randomness, final_values) with the best available driver:
-        device-resident Fiat-Shamir (one sync per sumcheck) when unsharded,
-        else the per-round executor."""
+        device-resident Fiat-Shamir (one sync per sumcheck) — single-chip
+        or sharded — else the per-round executor."""
         import os
 
         if mesh is None and not os.environ.get("ZINC_TPU_NO_DEVICE_FS"):
@@ -112,6 +112,19 @@ def spartan_prove_device(
                 transcript, cfg, tables, nvars, degree, comb, eq_beta=eq_beta
             )
             return proof, randomness, [m[0] for m in mles]
+        if mesh is not None and not os.environ.get("ZINC_TPU_NO_DEVICE_FS"):
+            from .parallel.fs import (
+                prove_as_subprotocol_device_fs_sharded,
+                wants_fs_sharded,
+            )
+
+            eq_idx = tables.shape[0] if eq_beta is not None else None
+            if wants_fs_sharded(cfg, comb, tables.shape[1], mesh, eq_idx):
+                proof, randomness, mles = prove_as_subprotocol_device_fs_sharded(
+                    transcript, cfg, tables, nvars, degree, comb, mesh,
+                    eq_beta=eq_beta,
+                )
+                return proof, randomness, [m[0] for m in mles]
         if mesh is not None:
             from .parallel.sumcheck import make_sharded_executor
 

@@ -497,23 +497,36 @@ def prove_as_subprotocol_device_fs(
             randomness.append(limbs_to_fp(rs_np[rnd], cfg))
         active = b >> (n_dev - 1)
 
-    if n_dev == nvars:
-        # fold the final challenge on host over the downloaded remainder
-        arr = np.asarray(buf[:, : active, :])
-        mles_host = [
-            [limbs_to_fp(arr[i, x], cfg) for x in range(active)]
-            for i in range(arr.shape[0])
-        ]
-        mles_host = _fold(mles_host, randomness[-1])
-        return proof, randomness, mles_host
-
-    # host tail: download the live prefix and continue bit-identically
     arr = np.asarray(buf[:, : active, :])
+    return _host_tail(
+        transcript, cfg, arr, proof, randomness, n_dev, nvars, degree, comb
+    )
+
+
+def _host_tail(
+    transcript: KeccakTranscript,
+    cfg: FieldConfig,
+    arr: np.ndarray,  # (n_mles, active, L) downloaded remainder, batch-major
+    proof: list,
+    randomness: list,
+    n_done: int,
+    nvars: int,
+    degree: int,
+    comb,
+):
+    """Finish a device-FS sumcheck on host, bit-identically: fold the last
+    device challenge, then run the remaining rounds (if any) through the
+    host oracle.  Shared by the single-chip and sharded FS drivers."""
+    from .prover import _fold, _round_evals
+
     mles_host = [
-        [limbs_to_fp(arr[i, x], cfg) for x in range(active)]
+        [limbs_to_fp(arr[i, x], cfg) for x in range(arr.shape[1])]
         for i in range(arr.shape[0])
     ]
-    for rnd in range(n_dev, nvars):
+    if n_done == nvars:
+        # fold the final challenge on host over the downloaded remainder
+        return proof, randomness, _fold(mles_host, randomness[-1])
+    for rnd in range(n_done, nvars):
         if rnd > 0:
             mles_host = _fold(mles_host, randomness[-1])
         evals = _round_evals(mles_host, degree, comb, cfg)
@@ -522,5 +535,4 @@ def prove_as_subprotocol_device_fs(
         r = transcript.get_challenge(cfg)
         transcript.absorb_field(r)
         randomness.append(r)
-    mles_host = _fold(mles_host, randomness[-1])
-    return proof, randomness, mles_host
+    return proof, randomness, _fold(mles_host, randomness[-1])

@@ -203,16 +203,18 @@ def main() -> None:
         f"native 1-core C++ baseline {base_ms:.0f}ms @2^20",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "spartan_sumcheck_round_2p20_256bit",
-                "value": round(dev_ms_scaled, 3),
-                "unit": "ms",
-                "vs_baseline": round(base_ms / dev_ms_scaled, 2),
-            }
-        )
-    )
+    record = {
+        "metric": "spartan_sumcheck_round_2p20_256bit",
+        "value": round(dev_ms_scaled, 3),
+        "unit": "ms",
+        "vs_baseline": round(base_ms / dev_ms_scaled, 2),
+    }
+    if b_dev != b_target:
+        # CPU fallback measured a 2^16 slab and scaled linearly — tag it so
+        # a tunnel-down round can't silently publish an extrapolated number
+        # with the same JSON shape (VERDICT r3 item 9).
+        record["extrapolated"] = True
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -24,6 +24,7 @@ stderr so stdout stays a single machine-readable line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -183,6 +184,12 @@ def main() -> None:
     from zinc_tpu.fields.config import FieldConfig
 
     platform = jax.devices()[0].platform
+    if platform != "cpu":
+        # TILE=1024 measured fastest on the v5e (5.68 → 4.83 ms @2^20, r4
+        # sweep); the kernels raise their own per-kernel VMEM budget
+        # (mxu_exec._mxu_params), so no libtpu flag is needed.  Must be set
+        # before the first zinc_tpu.sumcheck import (module-level constant).
+        os.environ.setdefault("ZINC_TPU_MXU_TILE", "1024")
     cfg = FieldConfig((1 << 255) + 95, 4)
 
     n_mles, degree = 4, 3

@@ -1,11 +1,14 @@
-"""Round-3 on-chip measurement battery (run when the axon tunnel is up).
+"""On-chip measurement battery (run when the axon tunnel is up).
 
-Usage: python scripts/chip_measure.py [prove|verify|cold|all]
+Usage: python scripts/chip_measure.py [prove|verify|cold|sharded|all]
 
-Produces the numbers VERDICT r3 items 1/3/4/6 need:
-  prove  - warm 2^20 device prove x4 with ZINC_TPU_TRACE stage splits
-  verify - warm 2^20 device verify with stage splits
-  cold   - fresh-process cold prove (export cache + persistent XLA cache)
+Produces the numbers VERDICT items need:
+  prove   - warm 2^20 device prove x4 with ZINC_TPU_TRACE stage splits
+  verify  - warm 2^20 device verify with stage splits
+  cold    - fresh-process cold prove (export cache + persistent XLA cache)
+  sharded - shard_map overhead on 1 chip: kernel chain direct vs under a
+            1-device mesh, + whole-sumcheck walls (unsharded FS vs one-sync
+            sharded FS vs per-round sharded executor) at 2^20
 """
 
 import os
@@ -92,6 +95,153 @@ def run_cold():
     print(f"[cold] total incl. interpreter: {time.time()-t0:.1f} s")
 
 
+def run_sharded():
+    """VERDICT r3 item 5: the only shard-perf evidence obtainable on 1 chip.
+
+    (a) kernel level — the bench.py chained-differencing round (classic MXU
+        fold+eval) run directly vs under a 1-device-mesh shard_map; the
+        delta IS the shard_map dispatch/psum overhead.
+    (b) whole-sumcheck walls at 2^20 (Gruen SC1 shape, 3 tables + factored
+        eq): unsharded device-FS vs the one-sync sharded FS on a 1-device
+        mesh vs the per-round sharded executor (one host sync per round).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from zinc_tpu.fields.config import FieldConfig
+    from zinc_tpu.fields.montgomery import device_field
+    from zinc_tpu.parallel import local_mesh
+    from zinc_tpu.parallel.fs import (
+        prove_as_subprotocol_device_fs_sharded,
+        wants_fs_sharded,
+    )
+    from zinc_tpu.parallel.sumcheck import (
+        _sharded_lm_eval,
+        _sharded_lm_fold,
+        _sharded_lm_prep,
+        make_sharded_executor,
+        wants_gruen_sharded,
+    )
+    from zinc_tpu.sumcheck.device_fs import (
+        prove_as_subprotocol_device_fs,
+        wants_gruen,
+    )
+    from zinc_tpu.sumcheck.mxu_exec import TILE, _eval_lm, _fold_lm, term_meta
+    from zinc_tpu.transcript import KeccakTranscript
+
+    cfg = FieldConfig((1 << 255) + 95, 4)
+    ctx = device_field(cfg)
+    l16 = cfg.n16
+    nv, b = 20, 1 << 20
+    rng = np.random.default_rng(0)
+    mesh1 = local_mesh(1)
+    axes = tuple(mesh1.axis_names)
+
+    # ---- (a) kernel chain: direct vs 1-device shard_map --------------------
+    idx_terms = ((0, 3), (1, 3), (2, 3))  # the bench.py headline shape
+    terms = term_meta(idx_terms, l16)
+    tables = rng.integers(0, 1 << 16, (4, b, l16), dtype=np.uint32)
+    tables[..., -1] &= 0x7FFF  # value < 2^255 <= q (limbs little-endian)
+    r = jax.device_put(rng.integers(0, 1 << 16, (l16,), dtype=np.uint32))
+    nbh = b // (4 * TILE)
+    lm_host = np.transpose(tables, (0, 2, 1)).copy()
+
+    def chained(make_round, buf0):
+        def chain_s(k):
+            t0 = time.perf_counter()
+            buf = buf0 + jnp.uint32(0)
+            gs = None
+            for _ in range(k):
+                buf, gs = make_round(buf)
+            np.asarray(gs[0])
+            return time.perf_counter() - t0
+
+        chain_s(1)  # warmup/compile
+        short = min(chain_s(1) for _ in range(3))
+        long = min(chain_s(9) for _ in range(3))
+        return max(long - short, 1e-9) / 8 * 1e3
+
+    direct_buf = jax.device_put(lm_host)
+
+    def direct_round(buf):
+        buf = _fold_lm(ctx, buf, r, nbh)
+        return buf, _eval_lm(ctx, buf, terms, nbh)
+
+    direct_ms = chained(direct_round, direct_buf)
+    print(f"[sharded] (a) direct classic MXU round: {direct_ms:.2f} ms", flush=True)
+
+    sharded_tabs = jax.device_put(
+        jnp.asarray(tables), NamedSharding(mesh1, P(None, axes, None))
+    )
+    buf0 = _sharded_lm_prep(mesh1, b)(sharded_tabs)
+    fold_fn = _sharded_lm_fold(mesh1, ctx, nbh, True)
+    eval_fn = _sharded_lm_eval(mesh1, ctx, terms, nbh, True)
+
+    def sharded_round(buf):
+        buf = fold_fn(buf, r)
+        return buf, eval_fn(buf)
+
+    sharded_ms = chained(sharded_round, buf0)
+    print(
+        f"[sharded] (a) same round under 1-device-mesh shard_map: "
+        f"{sharded_ms:.2f} ms (overhead "
+        f"{(sharded_ms / direct_ms - 1) * 100:+.0f}%)",
+        flush=True,
+    )
+
+    # ---- (b) whole-sumcheck walls at 2^20 (Gruen SC1 shape) ---------------
+    comb = [(cfg.one(), (0, 1, 3)), (cfg.fp(5), (2, 3))]
+    beta = [cfg.fp(int(rng.integers(1 << 62))) for _ in range(nv)]
+    stacked = jnp.asarray(tables[:3])
+    assert wants_gruen(cfg, comb, 3, b)
+    assert wants_fs_sharded(cfg, comb, b, mesh1, eq_idx=3)
+    assert wants_gruen_sharded(cfg, comb, 3, b, mesh1)
+
+    def wall(tag, fn, n_runs=3):
+        times = []
+        for i in range(n_runs):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+            print(f"[sharded] (b) {tag} run {i}: {times[-1]:.2f} s", flush=True)
+        print(f"[sharded] (b) {tag}: warm best {min(times[1:]):.2f} s "
+              f"(first/cold {times[0]:.2f} s)", flush=True)
+        return min(times[1:])
+
+    def run_unsharded():
+        t = KeccakTranscript()
+        t.absorb(b"sharded-bench")
+        prove_as_subprotocol_device_fs(t, cfg, stacked, nv, 3, comb, eq_beta=beta)
+
+    def run_fs_sharded():
+        t = KeccakTranscript()
+        t.absorb(b"sharded-bench")
+        prove_as_subprotocol_device_fs_sharded(
+            t, cfg, stacked, nv, 3, comb, mesh1, eq_beta=beta
+        )
+
+    def run_per_round():
+        # device phase only: same 12 rounds the FS drivers run on device,
+        # with one host sync (G-plane fetch + challenge upload) per round
+        ex = make_sharded_executor(cfg, stacked, 3, comb, mesh1, eq_beta=beta)
+        r_prev = None
+        for i in range(12):
+            ex.round(r_prev)
+            r_prev = cfg.fp(0x1234567 + i)
+
+    un = wall("unsharded device-FS (whole sumcheck incl. host tail)", run_unsharded)
+    fs = wall("one-sync sharded FS, 1-device mesh (incl. host tail)", run_fs_sharded)
+    pr = wall("per-round sharded executor, 12 device rounds only", run_per_round)
+    print(
+        f"[sharded] summary: kernel round {direct_ms:.2f}->{sharded_ms:.2f} ms "
+        f"under shard_map; whole-sumcheck unsharded {un:.2f} s vs one-sync "
+        f"sharded {fs:.2f} s; per-round sharded device phase {pr:.2f} s",
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     os.environ.setdefault("ZINC_TPU_TRACE", "1")
@@ -101,3 +251,5 @@ if __name__ == "__main__":
         run_verify()
     if what in ("cold", "all"):
         run_cold()
+    if what in ("sharded", "all"):
+        run_sharded()

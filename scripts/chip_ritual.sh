@@ -32,15 +32,15 @@ step smoke 120 python -c "import jax; print(jax.devices())" || exit 1
 step pallas_tests 2400 env ZINC_TPU_TEST_TPU=1 python -m pytest \
   tests/test_pallas_kernels.py tests/test_mxu_twins.py -q
 
-# 2. headline bench (Gruen + redc-tail fused round), default TILE=256
-step bench_t256 1200 python bench.py
+# 2. headline bench (Gruen + redc-tail fused round); bench.py defaults to
+#    TILE=1024 on the chip (the r4 sweep winner), per-kernel VMEM budget —
+#    no libtpu flag needed.
+step bench 2400 python bench.py
 
-# 3. TILE sweep with raised scoped VMEM (values proof-identical).
-#    Cold-compile-sized timeouts; a changed LIBTPU flag misses the cache.
-step bench_t512 2400 env ZINC_TPU_MXU_TILE=512 \
-  LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=65536 python bench.py
-step bench_t1024 2400 env ZINC_TPU_MXU_TILE=1024 \
-  LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=131072 python bench.py
+# 3. TILE sweep (values proof-identical).  Cold-compile-sized timeouts:
+#    a fresh tile size is a fresh Mosaic compile (~2-6 min per kernel).
+step bench_t256 2400 env ZINC_TPU_MXU_TILE=256 python bench.py
+step bench_t512 2400 env ZINC_TPU_MXU_TILE=512 python bench.py
 
 # 4. warm 2^20 prove x4 with stage splits (VERDICT r2 item 3)
 step prove 10800 env ZINC_TPU_TRACE=1 python scripts/chip_measure.py prove

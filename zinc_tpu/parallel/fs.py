@@ -248,10 +248,11 @@ def prove_as_subprotocol_device_fs_sharded(
     """Transcript-identical sharded sumcheck with device Fiat-Shamir.
 
     Callers gate on :func:`wants_fs_sharded`.  Returns
-    (proof, randomness, mles_host) like the single-chip FS driver.  (Not
-    routed through the jax.export disk cache: exporting shard_mapped
-    programs is mesh-dependent; the per-process trace is one program per
-    sumcheck shape.)"""
+    (proof, randomness, mles_host) like the single-chip FS driver.  The
+    program — the largest trace in the system — is routed through the
+    jax.export disk cache with mesh-topology-keyed sharded avals
+    (utils/export_cache.py), so on a multi-host deployment only the first
+    process per topology pays the trace."""
     from ..ops.keccak_kernel import DeviceSponge
     from ..sumcheck.device_fs import _StaticCfg, _host_tail
     from ..sumcheck.mxu_exec import TILE as MTILE
@@ -286,17 +287,25 @@ def prove_as_subprotocol_device_fs_sharded(
         mesh, ctx, _StaticCfg(cfg), int(sp.pos), degree, idx_terms,
         n_dev, use_pallas, gruen, tables.shape[0],
     )
-    lanes0 = jax.device_put(sp.lanes, NamedSharding(mesh, P(None, None)))
-    sbuf0 = jax.device_put(sp.buf, NamedSharding(mesh, P(None)))
+    from ..utils.export_cache import cached_call
+
+    repl = NamedSharding(mesh, P())
+    coeffs = jax.device_put(coeffs, repl)
+    lanes0 = jax.device_put(sp.lanes, repl)
+    sbuf0 = jax.device_put(sp.buf, repl)
+    static_key = (cfg.q, int(sp.pos), degree, idx_terms, n_dev, use_pallas,
+                  gruen, tables.shape[0])
     if gruen:
         e_flat = build_sharded_suffix(cfg, ctx, mesh, eq_beta, b_local, d)
-        beta_l = jax.device_put(
-            jnp.asarray(fps_to_limbs(eq_beta, cfg)),
-            NamedSharding(mesh, P(None, None)),
-        )
-        out = fn(buf_lm, coeffs, lanes0, sbuf0, e_flat, beta_l)
+        beta_l = jax.device_put(jnp.asarray(fps_to_limbs(eq_beta, cfg)), repl)
+        args = (buf_lm, coeffs, lanes0, sbuf0, e_flat, beta_l)
     else:
-        out = fn(buf_lm, coeffs, lanes0, sbuf0)
+        args = (buf_lm, coeffs, lanes0, sbuf0)
+    out = cached_call(
+        "fs-sharded-gruen" if gruen else "fs-sharded-classic",
+        static_key, fn, *args,
+        in_shardings=tuple(a.sharding for a in args),
+    )
     buf_out, evals_dev, rs_dev, lanes, sbuf = out
 
     # absorb totals are fully static → the buffer position is too

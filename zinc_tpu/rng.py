@@ -52,6 +52,44 @@ def splitmix64_seed(state: int, nbytes: int = 32) -> bytes:
     return bytes(out[:nbytes])
 
 
+def chacha_block_words(key: list[int], counter: int, rounds: int) -> list[int]:
+    """One ChaCha block, djb layout (64-bit counter, zero 64-bit nonce), as
+    16 output u32 words.  ``rounds`` is parametric so the SAME core can be
+    externally cross-validated at 20 rounds against OpenSSL's ChaCha20 (for
+    a zero nonce and counter < 2^32 the djb and RFC-7539 state layouts
+    coincide) — see tests/test_rng_external.py; StdRng uses 12."""
+    c = [0x61707865, 0x3320646E, 0x79622D32, 0x6B206574]
+    st = c + list(key) + [counter & _M32, (counter >> 32) & _M32, 0, 0]
+    x = list(st)
+
+    def qr(a, b, cc, d):
+        x[a] = (x[a] + x[b]) & _M32
+        x[d] ^= x[a]
+        x[d] = ((x[d] << 16) | (x[d] >> 16)) & _M32
+        x[cc] = (x[cc] + x[d]) & _M32
+        x[b] ^= x[cc]
+        x[b] = ((x[b] << 12) | (x[b] >> 20)) & _M32
+        x[a] = (x[a] + x[b]) & _M32
+        x[d] ^= x[a]
+        x[d] = ((x[d] << 8) | (x[d] >> 24)) & _M32
+        x[cc] = (x[cc] + x[d]) & _M32
+        x[b] ^= x[cc]
+        x[b] = ((x[b] << 7) | (x[b] >> 25)) & _M32
+
+    assert rounds % 2 == 0
+    for _ in range(rounds // 2):
+        qr(0, 4, 8, 12)
+        qr(1, 5, 9, 13)
+        qr(2, 6, 10, 14)
+        qr(3, 7, 11, 15)
+        qr(0, 5, 10, 15)
+        qr(1, 6, 11, 12)
+        qr(2, 7, 8, 13)
+        qr(3, 4, 9, 14)
+
+    return [(x[i] + st[i]) & _M32 for i in range(16)]
+
+
 class ChaCha12:
     """ChaCha with 12 rounds, djb layout (64-bit counter, 64-bit nonce) —
     the core of rand's StdRng.  Emits the keystream as sequential u32 words."""
@@ -67,35 +105,7 @@ class ChaCha12:
         return ChaCha12(splitmix64_seed(seed & _M64))
 
     def _block(self, counter: int) -> list[int]:
-        c = [0x61707865, 0x3320646E, 0x79622D32, 0x6B206574]
-        st = c + self.key + [counter & _M32, (counter >> 32) & _M32, 0, 0]
-        x = list(st)
-
-        def qr(a, b, cc, d):
-            x[a] = (x[a] + x[b]) & _M32
-            x[d] ^= x[a]
-            x[d] = ((x[d] << 16) | (x[d] >> 16)) & _M32
-            x[cc] = (x[cc] + x[d]) & _M32
-            x[b] ^= x[cc]
-            x[b] = ((x[b] << 12) | (x[b] >> 20)) & _M32
-            x[a] = (x[a] + x[b]) & _M32
-            x[d] ^= x[a]
-            x[d] = ((x[d] << 8) | (x[d] >> 24)) & _M32
-            x[cc] = (x[cc] + x[d]) & _M32
-            x[b] ^= x[cc]
-            x[b] = ((x[b] << 7) | (x[b] >> 25)) & _M32
-
-        for _ in range(6):  # 12 rounds = 6 double rounds
-            qr(0, 4, 8, 12)
-            qr(1, 5, 9, 13)
-            qr(2, 6, 10, 14)
-            qr(3, 7, 11, 15)
-            qr(0, 5, 10, 15)
-            qr(1, 6, 11, 12)
-            qr(2, 7, 8, 13)
-            qr(3, 4, 9, 14)
-
-        return [(x[i] + st[i]) & _M32 for i in range(16)]
+        return chacha_block_words(self.key, counter, 12)
 
     def next_u32(self) -> int:
         if not self.buf:

@@ -66,11 +66,26 @@ from ..poly.device import fps_to_limbs
 import os as _os
 
 # eval pairs per grid step (fold: 2·TILE pairs/mle).  256 fits the default
-# 16 MB scoped-VMEM cap; with --xla_tpu_scoped_vmem_limit_kib raised, larger
-# tiles cut grid-step overhead — override via ZINC_TPU_MXU_TILE (values are
-# proof-identical; only the blocking changes).
+# 16 MB scoped-VMEM cap; larger tiles cut grid-step overhead and raise their
+# own per-kernel VMEM budget via _mxu_params() (no libtpu flag needed) —
+# override via ZINC_TPU_MXU_TILE (values are proof-identical; only the
+# blocking changes).  Measured r4 @2^20: 256→5.68 ms, 512→(fold 4.62),
+# 1024→4.83 ms full round.
 TILE = int(_os.environ.get("ZINC_TPU_MXU_TILE", "256"))
 GCHUNK = 256  # G contraction chunk: 256·255² < 2^24 keeps f32 sums exact
+
+
+def _mxu_params():
+    """Per-kernel scoped-VMEM budget for the MXU kernels.  Tiles above the
+    default need more than Mosaic's 16 MB scoped-VMEM cap; the per-kernel
+    ``vmem_limit_bytes`` compiler param replaces the process-wide
+    ``--xla_tpu_scoped_vmem_limit_kib`` libtpu flag (measured r4: TILE=1024
+    cuts the 2^20 round 5.68 → 4.83 ms, ~128 KiB VMEM per tile step)."""
+    if TILE <= 256:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(TILE * 131072, 128 * 1024 * 1024)
+    )
 
 
 def mxu_supported(idx_terms, l16: int) -> bool:
@@ -645,6 +660,7 @@ def _fold_lm(ctx: DeviceField, buf: jnp.ndarray, r: jnp.ndarray, nbh):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_mles, l, b_max), jnp.uint32),
         input_output_aliases={6: 0},
+        compiler_params=_mxu_params(),
     )(jnp.asarray([nbh], jnp.int32), *_ctx_consts(ctx), buf, buf, trt2, tmt, tqt)
 
 
@@ -743,6 +759,7 @@ def _eval_lm(ctx: DeviceField, buf: jnp.ndarray, terms, nbh):
         kernel,
         grid_spec=grid_spec,
         out_shape=_g_out_shapes(terms, l),
+        compiler_params=_mxu_params(),
     )(jnp.asarray([nbh], jnp.int32), *_ctx_consts(ctx), buf, buf)
 
 
@@ -935,6 +952,7 @@ def _eval_lm_gruen(ctx: DeviceField, buf: jnp.ndarray, e_flat: jnp.ndarray,
         kernel,
         grid_spec=grid_spec,
         out_shape=_gruen_g_shapes(terms, l),
+        compiler_params=_mxu_params(),
     )(
         jnp.stack([jnp.asarray(nbh, jnp.int32), jnp.asarray(e_off_blocks, jnp.int32)]),
         *_ctx_consts(ctx), buf, buf, e_flat,

@@ -94,6 +94,27 @@ def test_host_device_identity_2p14():
 
 @pytest.mark.skipif(
     not os.environ.get("ZINC_TPU_BIG_TESTS"),
+    reason="2^14 golden digest: set ZINC_TPU_BIG_TESTS=1 (~minutes)",
+)
+def test_golden_digest_pinned_2p14():
+    """Second golden shape (VERDICT r3 item 7): the 2^14 host proof's
+    sha256 is pinned in-tree — a wire-format drift that only shows at
+    production-like shapes (more Merkle levels, wider column index
+    distribution, 4096-length RAA blocks) fails here even though the
+    ~30 MB blob itself is not committed."""
+    import hashlib
+
+    from tests.golden.gen import N14, SEED14, generate
+
+    digest_file = Path(__file__).parent / "golden" / "proof_2p14.sha256"
+    want_digest, want_len = digest_file.read_text().split()
+    blob = generate(N14, SEED14)
+    assert len(blob) == int(want_len)
+    assert hashlib.sha256(blob).hexdigest() == want_digest
+
+
+@pytest.mark.skipif(
+    not os.environ.get("ZINC_TPU_BIG_TESTS"),
     reason="2^10 device-vs-golden identity: set ZINC_TPU_BIG_TESTS=1 (~3 min on 1 CPU)",
 )
 def test_device_prove_matches_golden_2p10():

@@ -208,6 +208,27 @@ def test_redc_tail_boundaries(q):
                 assert limbs_to_int(got[:, i]) == v % q, (kmax, v)
 
 
+def test_fold_lm_ref_below_half_R_prime():
+    """Fold twin at q = 2^255 − 19 ≤ R/2: the fused fold's REDC tail picks
+    kmax = 1 at trace time for this field class (~half of the primes
+    draw_random_field produces) — the cheaper branch must stay exact at
+    typical vectors."""
+    cfg1 = FieldConfig((1 << 255) - 19, 4)
+    assert 2 * cfg1.q <= 1 << (16 * cfg1.n16)  # the kmax=1 class
+    b = 4 * TILE
+    ctx = device_field(cfg1)
+    rng = random.Random(8)
+    mles = [[cfg1.fp(rng.randrange(cfg1.q)) for _ in range(b)] for _ in range(2)]
+    tabs = np.stack([np.asarray(fps_to_limbs(m, cfg1)) for m in mles])
+    buf = _to_lm(jnp.asarray(tabs), b)
+    r = cfg1.fp(rng.randrange(cfg1.q))
+    r_limbs = jnp.asarray(fps_to_limbs([r], cfg1)[0])
+    folded = fold_lm_ref(ctx, buf, r_limbs, b // (4 * TILE))
+    got = np.asarray(_from_lm(folded, b // 2))
+    want = np.stack([np.asarray(fps_to_limbs(m, cfg1)) for m in _fold(mles, r)])
+    assert np.array_equal(got, want)
+
+
 def test_fold_lm_ref_near_R_prime():
     """Fold twin at q = 2^256 − 189 (the largest 256-bit prime): with
     q/R ≈ 1 the fused fold's u/R ranges up to ~2.97q, so the REDC tail's

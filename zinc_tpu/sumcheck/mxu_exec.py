@@ -333,7 +333,11 @@ def _scalar_fold_mxu(kctx, v0, v1, trt2, tmt, tqt):
     m = _carry_sweep_T(m16, l)  # sweep 1
     u8 = jnp.dot(tqt, _bf16(_split8_B(m)), preferred_element_type=jnp.float32)
     u16 = _combine8_T(_u32(u8) + t8)
-    return _redc_tail_T(u16, kctx.q_wide, l, kmax=2)  # sweep 2: ÷R + mod q
+    # sweep 2: ÷R + mod q.  u ≤ q + 2(q−1)²/R: < 2q when q ≤ R/2 (one
+    # lane-stacked candidate suffices — a third of the tail-sweep width
+    # saved), < 3q otherwise — chosen per field at trace time (r4).
+    kmax = 1 if 2 * kctx.modulus <= (1 << (16 * l)) else 2
+    return _redc_tail_T(u16, kctx.q_wide, l, kmax=kmax)
 
 
 def _nt_dot_chunked(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

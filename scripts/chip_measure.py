@@ -82,14 +82,18 @@ def run_verify(n_runs=3):
 
 
 def run_cold():
-    # populate caches with one in-process prove, then measure a FRESH process
+    # populate the persistent caches with one prove in a SUBPROCESS (an
+    # in-process warm prove keeps its device buffers alive and OOMs the
+    # single chip when the measured subprocess starts — r4 battery), then
+    # measure a second fresh process: the true cold-start with caches on.
     code = (
         "import sys, time; sys.path.insert(0, %r); t0=time.time(); "
         "from scripts.chip_measure import run_prove; run_prove(n_runs=1); "
         "print('[cold] fresh-process prove: %%.1f s' %% (time.time()-t0))"
         % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    run_prove(n_runs=1)  # warm the caches
+    print("[cold] warming caches in a subprocess...", flush=True)
+    subprocess.run([sys.executable, "-u", "-c", code], check=True)
     t0 = time.time()
     subprocess.run([sys.executable, "-u", "-c", code], check=True)
     print(f"[cold] total incl. interpreter: {time.time()-t0:.1f} s")
@@ -118,8 +122,8 @@ def run_sharded():
         wants_fs_sharded,
     )
     from zinc_tpu.parallel.sumcheck import (
-        _sharded_lm_eval,
-        _sharded_lm_fold,
+        _sharded_lm_eval_dyn,
+        _sharded_lm_fold_dyn,
         _sharded_lm_prep,
         make_sharded_executor,
         wants_gruen_sharded,
@@ -176,12 +180,15 @@ def run_sharded():
         jnp.asarray(tables), NamedSharding(mesh1, P(None, axes, None))
     )
     buf0 = _sharded_lm_prep(mesh1, b)(sharded_tabs)
-    fold_fn = _sharded_lm_fold(mesh1, ctx, nbh, True)
-    eval_fn = _sharded_lm_eval(mesh1, ctx, terms, nbh, True)
+    # the production pallas route: dynamic-grid shard_mapped kernels
+    # (ShardedLmSumcheckExecutor._do_fold/_do_eval)
+    fold_fn = _sharded_lm_fold_dyn(mesh1, ctx)
+    eval_fn = _sharded_lm_eval_dyn(mesh1, ctx, terms)
+    nbh_arr = jnp.asarray([nbh], jnp.int32)
 
     def sharded_round(buf):
-        buf = fold_fn(buf, r)
-        return buf, eval_fn(buf)
+        buf = fold_fn(buf, r, nbh_arr)
+        return buf, eval_fn(buf, nbh_arr)
 
     sharded_ms = chained(sharded_round, buf0)
     print(

@@ -64,6 +64,29 @@ def test_export_cache_roundtrip_byte_identity(export_cache):
     assert td2.h.digest() == th.h.digest()
 
 
+def test_export_cache_nested_pytree_args(export_cache):
+    """The Spartan setup programs pass a tuple-of-tuples of CSR arrays as
+    one dynamic arg (spartan_dev.py sc1/sc2 routing, r4): the cache must
+    key and replay nested pytrees correctly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zinc_tpu.utils.export_cache import cached_call
+
+    def make(mats, z):
+        (a, b), (c, d) = mats
+        return a * b + c * d + z
+
+    mats = ((jnp.arange(4.0), jnp.ones(4)), (jnp.arange(4.0) * 2, jnp.ones(4)))
+    z = jnp.full(4, 7.0)
+    out1 = np.asarray(cached_call("nested-demo", ("k",), make, mats, z))
+    arts = list(export_cache.glob("nested-demo-*.jaxexport"))
+    assert len(arts) == 1
+    out2 = np.asarray(cached_call("nested-demo", ("k",), make, mats, z))
+    assert np.array_equal(out1, out2)
+    assert np.array_equal(out1, np.asarray(make(mats, z)))
+
+
 def test_export_cache_corrupt_artifact_falls_back(export_cache, capsys):
     rng = random.Random(12)
     nv = 10

@@ -124,6 +124,11 @@ def _sharded_lm_fold(mesh: Mesh, ctx: DeviceField, nbh_local: int, use_pallas: b
         mesh=mesh,
         in_specs=(P(None, None, axes), P(None)),
         out_specs=P(None, None, axes),
+        # the vma checker cannot annotate pallas_call out_shapes (jax 0.9
+        # raises at trace time on the TPU path — caught by the r4 on-chip
+        # sharded measurement; the CPU suite runs the XLA twins and never
+        # hit it)
+        check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(0,))
 
@@ -146,6 +151,7 @@ def _sharded_lm_eval(mesh: Mesh, ctx: DeviceField, terms: tuple, nbh_local: int,
         mesh=mesh,
         in_specs=P(None, None, axes),
         out_specs=tuple(P(None, None, None, None) for _ in terms),
+        check_vma=False,  # pallas out_shapes carry no vma (see _sharded_lm_fold)
     )
     return jax.jit(fn)
 
@@ -167,6 +173,7 @@ def _sharded_lm_fold_dyn(mesh: Mesh, ctx: DeviceField):
         mesh=mesh,
         in_specs=(P(None, None, axes), P(None), P(None)),
         out_specs=P(None, None, axes),
+        check_vma=False,  # pallas out_shapes carry no vma (see _sharded_lm_fold)
     )
     return jax.jit(fn, donate_argnums=(0,))
 
@@ -186,6 +193,7 @@ def _sharded_lm_eval_dyn(mesh: Mesh, ctx: DeviceField, terms: tuple):
         mesh=mesh,
         in_specs=(P(None, None, axes), P(None)),
         out_specs=tuple(P(None, None, None, None) for _ in terms),
+        check_vma=False,  # pallas out_shapes carry no vma (see _sharded_lm_fold)
     )
     return jax.jit(fn)
 
@@ -374,6 +382,7 @@ def _sharded_gruen_eval_dyn(mesh: Mesh, ctx: DeviceField, terms: tuple):
         mesh=mesh,
         in_specs=(P(None, None, axes), P(None, axes), P(None)),
         out_specs=tuple(P(None, None, None, None) for _ in terms),
+        check_vma=False,  # pallas out_shapes carry no vma (see _sharded_lm_fold)
     )
     return jax.jit(fn)
 

@@ -160,15 +160,19 @@ def spartan_prove_device(
             not _os.environ.get("ZINC_TPU_NO_GRUEN")
             and wants_gruen_sharded(cfg, comb1, eq_idx, ccs.m, mesh)
         )
+    from .utils.export_cache import cached_call
+
     with timed("spartan.sc1_setup"):
-        tables = _sc1_setup(
-        ctx,
-        ccs.m,
-        tuple((m.vals, m.cols_idx, m.row_ends) for m in dstatement.matrices),
-        z_f,
-        jnp.asarray(fps_to_limbs(beta_s, cfg)),
-        not gruen1,
-    )
+        # routed through the jax.export disk cache: the setup traces were
+        # the largest cold-start cost after the FS kernels (r4 battery:
+        # 94.8 s of the 220 s cold prove was sc1_setup tracing)
+        tables = cached_call(
+            "sc1-setup", (cfg.q, ccs.m, not gruen1),
+            lambda mats, z, b: _sc1_setup(ctx, ccs.m, mats, z, b, not gruen1),
+            tuple((m.vals, m.cols_idx, m.row_ends) for m in dstatement.matrices),
+            z_f,
+            jnp.asarray(fps_to_limbs(beta_s, cfg)),
+        )
         np.asarray(tables[:, :1, :1])  # tiny fetch: waits for the enqueued setup
     with timed("spartan.sumcheck1"):
         proof1, r_x, finals1 = run_sumcheck(
@@ -179,14 +183,14 @@ def spartan_prove_device(
     # ---- sumcheck 2 -------------------------------------------------------
     gamma = squeeze_gamma_challenge(transcript, cfg)
     with timed("spartan.sc2_setup"):
-        tables2 = _sc2_setup(
-        ctx,
-        ccs.m,
-        tuple((m.vals_by_col, m.rows_by_col, m.col_ends) for m in dstatement.matrices),
-        z_f,
-        jnp.asarray(fps_to_limbs(r_x, cfg)),
-        jnp.asarray(fps_to_limbs([gamma], cfg)[0]),
-    )
+        tables2 = cached_call(
+            "sc2-setup", (cfg.q, ccs.m),
+            lambda mats, z, rx, g: _sc2_setup(ctx, ccs.m, mats, z, rx, g),
+            tuple((m.vals_by_col, m.rows_by_col, m.col_ends) for m in dstatement.matrices),
+            z_f,
+            jnp.asarray(fps_to_limbs(r_x, cfg)),
+            jnp.asarray(fps_to_limbs([gamma], cfg)[0]),
+        )
         np.asarray(tables2[:, :1, :1])
     comb2 = [(cfg.one(), (0, 1))]
     with timed("spartan.sumcheck2"):

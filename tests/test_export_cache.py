@@ -28,6 +28,14 @@ def export_cache(tmp_path, monkeypatch):
     return tmp_path
 
 
+def _simulate_fresh_process():
+    """Drop the in-process memo of deserialized artifacts so the next
+    cached_call exercises the disk path exactly like a cold process."""
+    from zinc_tpu.utils.export_cache import _EXP_MEMO
+
+    _EXP_MEMO.clear()
+
+
 def _fs_prove(nv, tables_f, stacked, comb):
     from zinc_tpu.sumcheck.device_fs import prove_as_subprotocol_device_fs
 
@@ -59,6 +67,7 @@ def test_export_cache_roundtrip_byte_identity(export_cache):
     # second call: must LOAD the artifact (mutating it to garbage afterwards
     # proves the load path is really exercised, see the next test) and stay
     # byte-identical
+    _simulate_fresh_process()
     (proof_2, rs_2, _), td2 = _fs_prove(nv, tables_f, stacked, comb)
     assert proof_2 == proof_h and rs_2 == state_h.randomness
     assert td2.h.digest() == th.h.digest()
@@ -100,6 +109,7 @@ def test_export_cache_corrupt_artifact_falls_back(export_cache, capsys):
     [art] = list(export_cache.glob("fs-classic-*.jaxexport"))
     art.write_bytes(b"\x00garbage")
 
+    _simulate_fresh_process()
     (proof_2, _, _), _ = _fs_prove(nv, tables_f, stacked, comb)
     assert proof_2 == proof_1  # fell back to the plain jitted kernel
     assert "export cache bypass" in capsys.readouterr().err
@@ -130,6 +140,7 @@ def test_export_cache_gruen_roundtrip(export_cache):
     )
 
     for _ in range(2):  # write pass, then the deserialize pass
+        _simulate_fresh_process()
         td = KeccakTranscript()
         proof_d, rs_d, _ = prove_as_subprotocol_device_fs(
             td, CFG, stacked, nv, 3, comb, eq_beta=beta

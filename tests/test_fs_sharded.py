@@ -134,13 +134,17 @@ def test_fs_sharded_export_cache_roundtrip(tmp_path, monkeypatch, capsys):
     assert len(arts) == 1 and arts[0].stat().st_size > 0
     check(td1, proof_1, rs_1, mles_1)
 
-    # deserialize pass (the cold-process path)
+    # deserialize pass (the cold-process path; drop the in-process memo)
+    from zinc_tpu.utils.export_cache import _EXP_MEMO
+
+    _EXP_MEMO.clear()
     td2, (proof_2, rs_2, mles_2) = drive()
     check(td2, proof_2, rs_2, mles_2)
     capsys.readouterr()  # discard
 
     # a poisoned artifact must fall back, not break the prover
     arts[0].write_bytes(b"\x00garbage")
+    _EXP_MEMO.clear()
     td3, (proof_3, rs_3, mles_3) = drive()
     check(td3, proof_3, rs_3, mles_3)
     assert "export cache bypass" in capsys.readouterr().err

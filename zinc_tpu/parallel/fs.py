@@ -260,6 +260,8 @@ def prove_as_subprotocol_device_fs_sharded(
 
     _absorb_nvars_degree(transcript, nvars, degree, cfg)
 
+    from ..utils.timing import timed
+
     ctx = device_field(cfg)
     b = tables.shape[1]
     d = mesh.size
@@ -275,11 +277,12 @@ def prove_as_subprotocol_device_fs_sharded(
     assert n_dev >= 2, "wants_fs_sharded guarantees >= 2 device rounds"
 
     axes = tuple(mesh.axis_names)
-    sharded = jax.device_put(
-        jnp.asarray(tables), NamedSharding(mesh, P(None, axes, None))
-    )
-    buf_lm = _sharded_lm_prep(mesh, b_local)(sharded)
-    coeffs = jnp.asarray(fps_to_limbs([c for c, _ in comb], cfg))
+    with timed("fs_sharded.prep"):
+        sharded = jax.device_put(
+            jnp.asarray(tables), NamedSharding(mesh, P(None, axes, None))
+        )
+        buf_lm = _sharded_lm_prep(mesh, b_local)(sharded)
+        coeffs = jnp.asarray(fps_to_limbs([c for c, _ in comb], cfg))
     idx_terms = tuple(tuple(idxs) for _, idxs in comb)
 
     sp = DeviceSponge.from_host(transcript.h)
@@ -296,26 +299,29 @@ def prove_as_subprotocol_device_fs_sharded(
     static_key = (cfg.q, int(sp.pos), degree, idx_terms, n_dev, use_pallas,
                   gruen, tables.shape[0])
     if gruen:
-        e_flat = build_sharded_suffix(cfg, ctx, mesh, eq_beta, b_local, d)
-        beta_l = jax.device_put(jnp.asarray(fps_to_limbs(eq_beta, cfg)), repl)
+        with timed("fs_sharded.suffix"):
+            e_flat = build_sharded_suffix(cfg, ctx, mesh, eq_beta, b_local, d)
+            beta_l = jax.device_put(jnp.asarray(fps_to_limbs(eq_beta, cfg)), repl)
         args = (buf_lm, coeffs, lanes0, sbuf0, e_flat, beta_l)
     else:
         args = (buf_lm, coeffs, lanes0, sbuf0)
-    out = cached_call(
-        "fs-sharded-gruen" if gruen else "fs-sharded-classic",
-        static_key, fn, *args,
-        in_shardings=tuple(a.sharding for a in args),
-    )
+    with timed("fs_sharded.launch"):
+        out = cached_call(
+            "fs-sharded-gruen" if gruen else "fs-sharded-classic",
+            static_key, fn, *args,
+            in_shardings=tuple(a.sharding for a in args),
+        )
     buf_out, evals_dev, rs_dev, lanes, sbuf = out
 
     # absorb totals are fully static → the buffer position is too
     frame = 2 * cfg.nbytes + 4
     pos = (sp.pos + n_dev * ((degree + 1) * frame + 34 + frame)) % 136
-    evals_np = np.asarray(evals_dev)
-    rs_np = np.asarray(rs_dev)
-    DeviceSponge(None, None, pos).export_to_host(
-        transcript.h, np.asarray(lanes), np.asarray(sbuf)
-    )
+    with timed("fs_sharded.fetch"):
+        evals_np = np.asarray(evals_dev)
+        rs_np = np.asarray(rs_dev)
+        lanes_np, sbuf_np = np.asarray(lanes), np.asarray(sbuf)
+        arr = fetch_global(buf_out)  # (n_tabs[+1], d·act_local, L) global order
+    DeviceSponge(None, None, pos).export_to_host(transcript.h, lanes_np, sbuf_np)
     proof: list[list[Fp]] = []
     randomness: list[Fp] = []
     for rnd in range(n_dev):
@@ -324,7 +330,7 @@ def prove_as_subprotocol_device_fs_sharded(
         )
         randomness.append(limbs_to_fp(rs_np[rnd], cfg))
 
-    arr = fetch_global(buf_out)  # (n_tabs[+1], d·act_local, L) global order
-    return _host_tail(
-        transcript, cfg, arr, proof, randomness, n_dev, nvars, degree, comb
-    )
+    with timed("fs_sharded.host_tail"):
+        return _host_tail(
+            transcript, cfg, arr, proof, randomness, n_dev, nvars, degree, comb
+        )

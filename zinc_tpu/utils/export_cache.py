@@ -31,6 +31,7 @@ import sys
 
 
 _SRC_FP: str | None = None
+_EXP_MEMO: dict = {}  # key → deserialized jax.export.Exported (per process)
 
 
 def _source_fingerprint() -> str:
@@ -106,22 +107,34 @@ def cached_call(kind: str, static_key, make_fn, *dyn_args, in_shardings=None):
     )
     key = hashlib.sha256(key_src.encode()).hexdigest()[:32]
     path = _cache_dir() / f"{kind}-{key}.jaxexport"
+    memo_key = str(path)  # includes the cache dir (tests use per-test dirs)
+    from .timing import timed
+
     try:
+        if memo_key in _EXP_MEMO:  # in-process: deserialize/trace + compile ONCE
+            return _EXP_MEMO[memo_key](*dyn_args)
         if path.exists():
-            exp = jax.export.deserialize(path.read_bytes())
-            return exp.call(*dyn_args)
-        exp = jax.export.export(
-            jax.jit(make_fn),
-            disabled_checks=[
-                jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call")
-            ],
-        )(*avals)
-        blob = exp.serialize()
-        path.parent.mkdir(parents=True, exist_ok=True)
-        tmp = path.with_suffix(f".tmp{os.getpid()}")
-        tmp.write_bytes(blob)
-        os.replace(tmp, path)
-        return exp.call(*dyn_args)
+            with timed(f"export.deserialize({kind})"):
+                exp = jax.export.deserialize(path.read_bytes())
+        else:
+            with timed(f"export.trace+write({kind})"):
+                exp = jax.export.export(
+                    jax.jit(make_fn),
+                    disabled_checks=[
+                        jax.export.DisabledSafetyCheck.custom_call(
+                            "tpu_custom_call"
+                        )
+                    ],
+                )(*avals)
+                blob = exp.serialize()
+                path.parent.mkdir(parents=True, exist_ok=True)
+                tmp = path.with_suffix(f".tmp{os.getpid()}")
+                tmp.write_bytes(blob)
+                os.replace(tmp, path)
+        # memoize the JITTED wrapper: repeat calls hit the jit executable
+        # cache instead of re-tracing exp.call per invocation
+        _EXP_MEMO[memo_key] = jax.jit(exp.call)
+        return _EXP_MEMO[memo_key](*dyn_args)
     except Exception as e:  # noqa: BLE001 — cache must never break the prover
         print(f"[zinc-tpu] export cache bypass ({kind}): {e}", file=sys.stderr)
         return make_fn(*dyn_args)

@@ -125,6 +125,13 @@ class ZincProver:
         with timed("prove.upload"):
             dstatement = DeviceStatement.upload(cfg, statement)
             z_f = z_to_device(cfg, z_ccs)
+            # force the CSR/witness transfers NOW: an executable that pulls
+            # dispatched-but-unfinished uploads lazily pays a chunked
+            # sync-per-chunk tunnel path (measured 839 s vs 27 s at 2^20 —
+            # utils/transfer.py)
+            from .utils.transfer import csr_arrays, force_transfers
+
+            force_transfers(csr_arrays(dstatement.matrices) + [z_f])
         with timed("prove.spartan"):
             spartan_proof, r_y, v = spartan_prove_device(
                 dstatement, z_f, ccs, transcript, cfg, mesh=self.mesh
@@ -198,31 +205,53 @@ class ZincVerifier:
         ccs: CCS,
         cfg: FieldConfig,
     ) -> None:
-        drawn = draw_random_field(
-            statement.public_input, transcript, self.zt.n_words, cfg.n64
-        )
-        if drawn != cfg:
-            raise ZincError("field config mismatch: wrong public input binding")
+        from .utils.timing import timed
 
-        ccs_f = ccs.map_to_field(cfg)
+        with timed("verify.draw_field"):
+            drawn = draw_random_field(
+                statement.public_input, transcript, self.zt.n_words, cfg.n64
+            )
+            if drawn != cfg:
+                raise ZincError("field config mismatch: wrong public input binding")
+
+        with timed("verify.ccs_map"):
+            ccs_f = ccs.map_to_field(cfg)
         # the device backend projects the (integer) constraint matrices on
         # device inside the final evaluation — the host-side map_to_field of
         # every nonzero is the single most expensive verifier step at 2^20.
         # Uploads start NOW so the transfers overlap the host-side Spartan
         # and PCS verification; the evaluations themselves wait for r_x‖r_y.
-        if self.backend == "device":
-            from .ops.sparse import upload_matrix
+        forcer = None
+        with timed("verify.upload_matrices"):
+            if self.backend == "device":
+                import threading
 
-            statement_k = [upload_matrix(cfg, m) for m in statement.constraints]
-        else:
-            statement_k = statement.map_to_field(cfg).constraints
+                from .ops.sparse import upload_matrix
+                from .utils.transfer import csr_arrays, force_transfers
 
-        try:
-            points = spartan_verify(proof.spartan_proof, ccs_f, transcript, cfg)
-        except SpartanError as e:
-            raise ZincError(f"Spartan verification failed: {e}") from e
+                statement_k = [upload_matrix(cfg, m) for m in statement.constraints]
+                # force the transfers in a background thread: the final-eval
+                # executable would otherwise pull them lazily through the
+                # chunked sync-per-chunk tunnel path (utils/transfer.py);
+                # the thread overlaps the host-side Spartan verification
+                forcer = threading.Thread(
+                    target=force_transfers, args=(csr_arrays(statement_k),),
+                    daemon=True,
+                )
+                forcer.start()
+            else:
+                statement_k = statement.map_to_field(cfg).constraints
 
-        self._verify_pcs_proof(statement_k, proof.zip_proof, points, ccs_f, transcript, cfg)
+        with timed("verify.spartan"):
+            try:
+                points = spartan_verify(proof.spartan_proof, ccs_f, transcript, cfg)
+            except SpartanError as e:
+                raise ZincError(f"Spartan verification failed: {e}") from e
+
+        self._verify_pcs_proof(
+            statement_k, proof.zip_proof, points, ccs_f, transcript, cfg,
+            upload_forcer=forcer,
+        )
 
     def _verify_pcs_proof(
         self,
@@ -232,9 +261,13 @@ class ZincVerifier:
         ccs_f: CCS,
         transcript: KeccakTranscript,
         cfg: FieldConfig,
+        upload_forcer=None,  # background thread forcing the matrix uploads
     ) -> None:
-        code = RaaCode(self.lc_spec, ccs_f.m, transcript, self.zt)
-        pp = setup(ccs_f.m, code, self.zt)
+        from .utils.timing import timed
+
+        with timed("verify.code_setup"):
+            code = RaaCode(self.lc_spec, ccs_f.m, transcript, self.zt)
+            pp = setup(ccs_f.m, code, self.zt)
         pcs_transcript = PcsTranscript.from_proof(zip_proof.pcs_proof)
         r_x = points.rx_ry[: ccs_f.s]
         r_y = points.rx_ry[ccs_f.s :]
@@ -248,19 +281,23 @@ class ZincVerifier:
         if self.backend == "device":
             from .ops.sparse import dispatch_mle_evals
 
+            if upload_forcer is not None:
+                upload_forcer.join()  # operands must be resident pre-dispatch
             handles = dispatch_mle_evals(cfg, statement_k, r_x, r_y)
 
-        try:
-            verify_poly(pp, zip_proof.z_comm, r_y, zip_proof.v, pcs_transcript, cfg)
-        except Exception as e:
-            raise ZincError(f"PCS verification failed: {e}") from e
+        with timed("verify.pcs"):
+            try:
+                verify_poly(pp, zip_proof.z_comm, r_y, zip_proof.v, pcs_transcript, cfg)
+            except Exception as e:
+                raise ZincError(f"PCS verification failed: {e}") from e
 
         # Final check: Σⱼ γʲ·M̃ⱼ(r_x‖r_y)·v == e_y (sparse evaluation)
-        if self.backend == "device":
-            from .ops.sparse import fetch_mle_evals
+        with timed("verify.final_evals"):
+            if self.backend == "device":
+                from .ops.sparse import fetch_mle_evals
 
-            v_xy = fetch_mle_evals(cfg, handles)
-        else:
-            v_xy = [evaluate_mle(m, r_x, r_y, cfg) for m in statement_k]
+                v_xy = fetch_mle_evals(cfg, handles)
+            else:
+                v_xy = [evaluate_mle(m, r_x, r_y, cfg) for m in statement_k]
         if not lin_comb_gamma(points.gamma, v_xy) * zip_proof.v == points.e_y:
             raise ZincError("gamma combination of matrix evaluations != e_y")

@@ -249,7 +249,7 @@ def test_sharded_gruen_executor_matches_classic(mesh):
 
     rng = random.Random(77)
     cfg = draw_random_field([1], KeccakTranscript(), ZT.n_words, FIELD_LIMBS)
-    nv, n_tabs = 14, 3
+    nv, n_tabs = 13, 3  # 8 devices × 4·TILE = 2^13: the gating minimum
     tables_f = [
         [cfg.fp(rng.randrange(cfg.q)) for _ in range(1 << nv)] for _ in range(n_tabs)
     ]
@@ -277,10 +277,6 @@ def test_sharded_gruen_executor_matches_classic(mesh):
     assert exg.final_values() == exc.final_values()
 
 
-@pytest.mark.skipif(
-    not __import__("os").environ.get("ZINC_TPU_BIG_TESTS"),
-    reason="2^14 mesh prove (gruen-sharded gate engages): ZINC_TPU_BIG_TESTS=1",
-)
 def test_mesh_full_prove_2p14_gruen_sharded_bit_identical(mesh):
     """At 2^14 the production mesh prove routes sumcheck-1 through the
     sharded Gruen executor (b_local = 2^11 ≥ 4·TILE) — the full proof must

@@ -44,39 +44,44 @@ class DeviceCsr:
     n_cols: int
 
 
-def upload_matrix(cfg: FieldConfig, m: SparseMatrix) -> DeviceCsr:
-    """Project an integer sparse matrix into the field and upload as arrays."""
+def upload_matrix(
+    cfg: FieldConfig, m: SparseMatrix, with_col_views: bool = True
+) -> DeviceCsr:
+    """Project an integer sparse matrix into the field and upload as arrays.
+
+    ``with_col_views=False`` skips the column-sorted copy/boundaries (only
+    the prover's transposed products need them) — the verifier's final
+    evaluations consume just ``vals``/``rows_idx``/``cols_idx``, and halving
+    the payload matters over the tunnel."""
     from .field_map import i64_to_field_device, ints_to_field_device
 
-    rows, cols, vals = [], [], []
-    for i, row in enumerate(m.rows):
-        if not row:
-            continue
-        rows.extend([i] * len(row))
-        cols.extend([c for _, c in row])
-        vals.extend([v for v, _ in row])
-    if all(-(1 << 63) <= v < (1 << 63) for v in vals):
-        vals_f = i64_to_field_device(cfg, np.array(vals, np.int64))
+    rows_np, cols_np, vals = m.packed_coo()
+    if isinstance(vals, np.ndarray):
+        vals_f = i64_to_field_device(cfg, vals)
     else:
         vals_f = ints_to_field_device(cfg, vals)
-    return _make_csr(np.array(rows, np.int32), np.array(cols, np.int32),
-                     vals_f, m.n_rows, m.n_cols)
+    return _make_csr(rows_np, cols_np, vals_f, m.n_rows, m.n_cols,
+                     with_col_views)
 
 
-def _make_csr(rows_np, cols_np, vals_f, n_rows, n_cols) -> DeviceCsr:
+def _make_csr(rows_np, cols_np, vals_f, n_rows, n_cols,
+              with_col_views: bool = True) -> DeviceCsr:
     row_ends = np.searchsorted(rows_np, np.arange(n_rows + 1), side="left")
-    perm = np.argsort(cols_np, kind="stable")
-    cols_sorted = cols_np[perm]
-    col_ends = np.searchsorted(cols_sorted, np.arange(n_cols + 1), side="left")
-    perm_d = jnp.asarray(perm.astype(np.int32))
+    if with_col_views:
+        perm = np.argsort(cols_np, kind="stable")
+        cols_sorted = cols_np[perm]
+        col_ends = np.searchsorted(cols_sorted, np.arange(n_cols + 1), side="left")
+        perm_d = jnp.asarray(perm.astype(np.int32))
     return DeviceCsr(
         rows_idx=jnp.asarray(rows_np),
         cols_idx=jnp.asarray(cols_np),
         vals=vals_f,
         row_ends=jnp.asarray(row_ends.astype(np.int32)),
-        vals_by_col=vals_f[perm_d],
-        rows_by_col=jnp.asarray(rows_np[perm].astype(np.int32)),
-        col_ends=jnp.asarray(col_ends.astype(np.int32)),
+        vals_by_col=vals_f[perm_d] if with_col_views else None,
+        rows_by_col=jnp.asarray(rows_np[perm].astype(np.int32))
+        if with_col_views else None,
+        col_ends=jnp.asarray(col_ends.astype(np.int32))
+        if with_col_views else None,
         n_rows=n_rows,
         n_cols=n_cols,
     )

@@ -20,12 +20,42 @@ from .poly.mle import build_eq_x_r_vec
 class SparseMatrix:
     """Sparse matrix; values are ints (ℤ flavor) or Fp (field flavor)."""
 
-    __slots__ = ("n_rows", "n_cols", "rows")
+    __slots__ = ("n_rows", "n_cols", "rows", "_packed")
 
     def __init__(self, n_rows: int, n_cols: int, rows: list):
         self.n_rows = n_rows
         self.n_cols = n_cols
         self.rows = rows  # list[list[(value, col)]]
+        self._packed = None
+
+    def packed_coo(self):
+        """Memoized COO packing ``(rows i32, cols i32, vals)`` for device
+        uploads and native mirrors.  The O(nnz) Python walk over the row
+        lists is a measured ~1 s/matrix/call at 2^20, and both the prover
+        and the verifier re-upload the same statement matrices on every
+        proof — so it is built once per matrix.  ``vals`` is an int64
+        ndarray when every (integer) value fits, else the original value
+        list (wide ints / field elements)."""
+        if self._packed is None:
+            import numpy as np
+
+            rs, cs, vs = [], [], []
+            for i, row in enumerate(self.rows):
+                if not row:
+                    continue
+                rs.extend([i] * len(row))
+                cs.extend(c for _, c in row)
+                vs.extend(v for v, _ in row)
+            rows_np = np.array(rs, np.int32)
+            cols_np = np.array(cs, np.int32)
+            vals: object = vs
+            if not vs or (
+                isinstance(vs[0], int)
+                and all(-(1 << 63) <= v < (1 << 63) for v in vs)
+            ):
+                vals = np.array(vs, np.int64)
+            self._packed = (rows_np, cols_np, vals)
+        return self._packed
 
     @staticmethod
     def from_dense(dense: list[list]) -> "SparseMatrix":

@@ -196,6 +196,10 @@ class ZincVerifier:
         self.lc_spec = lc_spec or DefaultLinearCodeSpec()
         assert backend in ("host", "device")
         self.backend = backend
+        # (statement, q, DeviceCsr list) — a verifier checks many proofs of
+        # the same circuit, so the matrix upload amortizes like the prover's
+        # DeviceStatement does
+        self._csr_cache: tuple | None = None
 
     def verify(
         self,
@@ -219,9 +223,13 @@ class ZincVerifier:
         # the device backend projects the (integer) constraint matrices on
         # device inside the final evaluation — the host-side map_to_field of
         # every nonzero is the single most expensive verifier step at 2^20.
-        # Uploads start NOW so the transfers overlap the host-side Spartan
-        # and PCS verification; the evaluations themselves wait for r_x‖r_y.
+        # The ENTIRE upload pipeline (host CSR packing, device_put dispatch,
+        # forced transfer — utils/transfer.py) runs in a background thread so
+        # it rides under the host-side Spartan + PCS walls; r4 measured the
+        # synchronous version serializing 2.8 s of packing + ~1 s of forced
+        # transfer ahead of the 3.4 s PCS stage.
         forcer = None
+        uploaded: dict = {}
         with timed("verify.upload_matrices"):
             if self.backend == "device":
                 import threading
@@ -229,16 +237,30 @@ class ZincVerifier:
                 from .ops.sparse import upload_matrix
                 from .utils.transfer import csr_arrays, force_transfers
 
-                statement_k = [upload_matrix(cfg, m) for m in statement.constraints]
-                # force the transfers in a background thread: the final-eval
-                # executable would otherwise pull them lazily through the
-                # chunked sync-per-chunk tunnel path (utils/transfer.py);
-                # the thread overlaps the host-side Spartan verification
-                forcer = threading.Thread(
-                    target=force_transfers, args=(csr_arrays(statement_k),),
-                    daemon=True,
-                )
-                forcer.start()
+                cache = self._csr_cache
+                if (cache is not None and cache[0] is statement
+                        and cache[1] == cfg.q):
+                    uploaded["matrices"] = cache[2]  # resident from last verify
+                else:
+
+                    def _upload_and_force():
+                        try:
+                            # the final evaluations read only vals/rows/cols —
+                            # skip the prover-side column views (half the
+                            # payload over the tunnel)
+                            ms = [
+                                upload_matrix(cfg, m, with_col_views=False)
+                                for m in statement.constraints
+                            ]
+                            force_transfers(csr_arrays(ms))
+                            uploaded["matrices"] = ms
+                            self._csr_cache = (statement, cfg.q, ms)
+                        except BaseException as e:  # re-raised at the join
+                            uploaded["error"] = e
+
+                    forcer = threading.Thread(target=_upload_and_force, daemon=True)
+                    forcer.start()
+                statement_k = None  # resolved at the dispatch point
             else:
                 statement_k = statement.map_to_field(cfg).constraints
 
@@ -250,7 +272,7 @@ class ZincVerifier:
 
         self._verify_pcs_proof(
             statement_k, proof.zip_proof, points, ccs_f, transcript, cfg,
-            upload_forcer=forcer,
+            upload_forcer=forcer, uploaded=uploaded,
         )
 
     def _verify_pcs_proof(
@@ -262,6 +284,7 @@ class ZincVerifier:
         transcript: KeccakTranscript,
         cfg: FieldConfig,
         upload_forcer=None,  # background thread forcing the matrix uploads
+        uploaded=None,  # dict the forcer fills: {"matrices": [...]} | {"error": e}
     ) -> None:
         from .utils.timing import timed
 
@@ -273,17 +296,30 @@ class ZincVerifier:
         r_y = points.rx_ry[ccs_f.s :]
 
         # Final-check evaluations (Σⱼ γʲ·M̃ⱼ(r_x‖r_y)): on the device
-        # backend these are DISPATCHED (async, with host copies started)
-        # before the host-heavy PCS verification and fetched after it, so
-        # the O(nnz) device work and its downloads ride under verify_poly's
-        # wall time.
-        handles = None
+        # backend a second background thread waits for the uploads and then
+        # DISPATCHES the evaluations (async, with host copies started), so
+        # both the transfers and the O(nnz) device work ride under
+        # verify_poly's wall time; the results are fetched after it.
+        dispatcher = None
+        dispatched: dict = {}
         if self.backend == "device":
+            import threading
+
             from .ops.sparse import dispatch_mle_evals
 
-            if upload_forcer is not None:
-                upload_forcer.join()  # operands must be resident pre-dispatch
-            handles = dispatch_mle_evals(cfg, statement_k, r_x, r_y)
+            def _join_and_dispatch():
+                try:
+                    if upload_forcer is not None:
+                        upload_forcer.join()  # operands resident pre-dispatch
+                    if uploaded and "error" in uploaded:
+                        raise uploaded["error"]
+                    ms = (uploaded or {}).get("matrices", statement_k)
+                    dispatched["handles"] = dispatch_mle_evals(cfg, ms, r_x, r_y)
+                except BaseException as e:
+                    dispatched["error"] = e
+
+            dispatcher = threading.Thread(target=_join_and_dispatch, daemon=True)
+            dispatcher.start()
 
         with timed("verify.pcs"):
             try:
@@ -296,7 +332,10 @@ class ZincVerifier:
             if self.backend == "device":
                 from .ops.sparse import fetch_mle_evals
 
-                v_xy = fetch_mle_evals(cfg, handles)
+                dispatcher.join()
+                if "error" in dispatched:
+                    raise dispatched["error"]
+                v_xy = fetch_mle_evals(cfg, dispatched["handles"])
             else:
                 v_xy = [evaluate_mle(m, r_x, r_y, cfg) for m in statement_k]
         if not lin_comb_gamma(points.gamma, v_xy) * zip_proof.v == points.e_y:

@@ -251,30 +251,45 @@ def verify_poly(
                 inv[..., w] = s
                 carry = (s < carry).astype(np.uint64)
             mag[neg] = inv
-        sign_pm = np.where(neg, -1, 1).astype(np.int32)
+        # (the ±1 sign grid the device checks consume is derived ON DEVICE
+        # from the uploaded `neg` bits — see verify.dispatch_device below)
 
     # integer proximity: Σ_r coeff_r · v_{r,c} must re-encode to the claimed
-    # combined rows at the opened columns.  Device combinations are DISPATCHED
-    # here but fetched only after the host-side Merkle work below — JAX
-    # dispatch is asynchronous, so the chip computes while the host hashes.
+    # combined rows at the opened columns.  The opened magnitudes are
+    # uploaded ONCE as u16 limbs (the byte planes for the integer phase and
+    # the field projection are both derived on device) and FORCED in a
+    # background thread, so the ~32 MB rides the bulk transfer path under
+    # the host-side Merkle work below; a lazily-pulled operand would pay the
+    # chunked sync-per-chunk tunnel path instead (utils/transfer.py — the
+    # untracked ~2 s of the r4 verify split).  Only host-side prep happens
+    # here; the device combinations are dispatched after the Merkle fold.
     deferred: list = []  # (device_array, expected_ndarray, error_message)
+    prox_prepped: list = []  # (coeff_mag8, coeff_sign, expected) per test
+    dev_mag16 = dev_neg = None
+    up_forcer = None
     if num_rows > 1:
-        from ..fields.integers import combine_rows_signed, ints_to_mag8
-        from ..fields.limbs import ints_to_limbs
+        import threading
 
-        eval_mag8 = np.ascontiguousarray(
-            mag.view(np.uint8).reshape(n_open, num_rows, kw * 8).transpose(1, 0, 2)
-        )  # (R, C=n_open, Le8) uint8 — cast to u32 on device
-        eval_sign = np.ascontiguousarray(sign_pm.T).astype(np.int8)  # (R, C)
+        from ..fields.integers import ints_to_mag8
+        from ..fields.limbs import ints_to_limbs
+        from ..utils.transfer import force_transfers
+
+        with timed("verify.upload_openings"):
+            mag16_rc = np.ascontiguousarray(
+                mag.view("<u2").reshape(n_open, num_rows, kw * 4).transpose(1, 0, 2)
+            )  # (R, C=n_open, L16) uint16
+            dev_mag16 = jnp.asarray(mag16_rc)
+            dev_neg = jnp.asarray(neg.T.astype(np.uint8))  # (R, C)
+            up_forcer = threading.Thread(
+                target=force_transfers, args=([dev_mag16, dev_neg],), daemon=True
+            )
+            up_forcer.start()
+
         out16 = 4 * pp.zt.m_words
         for coeffs, encoded in prox:
             c_mag8, c_sign = ints_to_mag8(coeffs, 8 * pp.zt.n_words)
-            combined = combine_rows_signed(
-                jnp.asarray(c_mag8), jnp.asarray(c_sign),
-                jnp.asarray(eval_mag8), jnp.asarray(eval_sign), out16,
-            )  # (n_open, out16) two's-complement limbs, device-resident
             expected = ints_to_limbs([encoded[c] for c in cols.tolist()], out16)
-            deferred.append((combined, expected, "proximity failure (integer phase)"))
+            prox_prepped.append((c_mag8, c_sign, expected))
     else:
         def _value(i: int, r: int) -> int:
             m = sum(int(mag[i, r, w]) << (64 * w) for w in range(kw))
@@ -295,19 +310,9 @@ def verify_poly(
         q_0, q_1 = _point_to_tensor(pp.num_rows, point, cfg)
 
     if num_rows > 1:
-        from ..fields.montgomery import device_field, lazy_sum, mod_reduce_wide, mont_mul
-        from ..ops.field_map import _wide_to_field
         from ..poly.device import fps_to_limbs
 
-        ctx = device_field(cfg)
-        mag16 = mag.view("<u2").reshape(n_open * num_rows, kw * 4)  # u16 upload
-        vals_f = _wide_to_field(
-            ctx, jnp.asarray(mag16), jnp.asarray(neg.reshape(-1).astype(np.uint8))
-        ).reshape(n_open, num_rows, cfg.n16)
-        q0_l = jnp.asarray(fps_to_limbs(q_0, cfg))  # (R, L)
-        prod = mont_mul(ctx, q0_l[None, :, :], vals_f)  # (C, R, L)
-        wide = lazy_sum(ctx, prod, axis=1)  # (C, Lw)
-        combined_f_dev = mod_reduce_wide(ctx, wide)  # (C, L) mont, device-resident
+        q0_l16 = fps_to_limbs(q_0, cfg)  # host packing; uploaded at dispatch
 
     # host work while the chip runs: re-encode over the field, check the
     # evaluation claim, and fold every Merkle path natively
@@ -356,6 +361,48 @@ def verify_poly(
             path = [pb[32 * d : 32 * d + 32] for d in range(depth)]
             if not verify_merkle_path(comm.roots[i % num_rows], lb, int(indices[i]), path):
                 raise MerkleError("Merkle path verification failed")
+
+    # ---- dispatch the device combinations (operands now forced resident) ---
+    combined_f_dev = None
+    if num_rows > 1:
+        from ..fields.integers import combine_rows_signed
+        from ..fields.montgomery import (
+            device_field,
+            lazy_sum,
+            mod_reduce_wide,
+            mont_mul,
+        )
+        from ..ops.field_map import _wide_to_field
+
+        with timed("verify.dispatch_device"):
+            up_forcer.join()  # the u16 magnitudes + sign grid are resident
+            # integer phase: byte planes derived on device from the u16 limbs
+            # (little-endian within each value: limb j → bytes 2j, 2j+1)
+            eval_mag8 = jnp.stack(
+                [dev_mag16 & jnp.uint16(0xFF), dev_mag16 >> 8], axis=-1
+            ).reshape(num_rows, n_open, kw * 8)
+            eval_sign = 1 - 2 * dev_neg.astype(jnp.int32)  # (R, C) ±1
+            for c_mag8, c_sign, expected in prox_prepped:
+                combined = combine_rows_signed(
+                    jnp.asarray(c_mag8), jnp.asarray(c_sign),
+                    eval_mag8, eval_sign, out16,
+                )  # (n_open, out16) two's-complement limbs, device-resident
+                deferred.append(
+                    (combined, expected, "proximity failure (integer phase)")
+                )
+            # field phase: Σ_r q0_r·f(v_{r,c}) over the same resident buffer
+            ctx = device_field(cfg)
+            mag16_flat = jnp.transpose(dev_mag16, (1, 0, 2)).reshape(
+                n_open * num_rows, kw * 4
+            )
+            neg_flat = jnp.transpose(dev_neg, (1, 0)).reshape(-1)
+            vals_f = _wide_to_field(ctx, mag16_flat, neg_flat).reshape(
+                n_open, num_rows, cfg.n16
+            )
+            q0_l = jnp.asarray(q0_l16)  # (R, L)
+            prod = mont_mul(ctx, q0_l[None, :, :], vals_f)  # (C, R, L)
+            wide = lazy_sum(ctx, prod, axis=1)  # (C, Lw)
+            combined_f_dev = mod_reduce_wide(ctx, wide)  # (C, L) mont
 
     # ---- fetch + compare the deferred device combinations ------------------
     with timed("verify.fetch_device"):

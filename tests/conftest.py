@@ -41,6 +41,9 @@ def _clear_jax_caches_per_module():
     exhaustion territory).  Per-module cache clears bound the resident JIT
     state at a small recompile cost."""
     yield
+    import gc
+
     import jax
 
     jax.clear_caches()
+    gc.collect()  # actually release the dropped LoadedExecutables' JIT memory

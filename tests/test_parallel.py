@@ -277,13 +277,15 @@ def test_sharded_gruen_executor_matches_classic(mesh):
     assert exg.final_values() == exc.final_values()
 
 
-def test_mesh_full_prove_2p14_gruen_sharded_bit_identical(mesh):
+def _mesh_prove_2p14_body():
     """At 2^14 the production mesh prove routes sumcheck-1 through the
     sharded Gruen executor (b_local = 2^11 ≥ 4·TILE) — the full proof must
     stay byte-identical to the unsharded device prover."""
+    from zinc_tpu.parallel import local_mesh
     from zinc_tpu.parallel.sumcheck import wants_gruen_sharded
     from zinc_tpu.serialize import serialize_proof
 
+    mesh = local_mesh(8)
     rng = random.Random(88)
     _, ccs, statement, wit = dummy_ccs_of_size(1 << 14, rng, int_bits=62)
     cfg_probe = draw_random_field([1], KeccakTranscript(), ZT.n_words, FIELD_LIMBS)
@@ -294,3 +296,39 @@ def test_mesh_full_prove_2p14_gruen_sharded_bit_identical(mesh):
     cfg_s, proof_s = _prove(mesh, statement, wit, ccs)
     assert cfg_ref.q == cfg_s.q
     assert serialize_proof(proof_s, cfg_s) == serialize_proof(proof_ref, cfg_ref)
+    print("2p14 mesh prove byte-identical: OK")
+
+
+def test_mesh_full_prove_2p14_gruen_sharded_bit_identical():
+    """Runs `_mesh_prove_2p14_body` in a FRESH subprocess (always on the
+    8-virtual-device CPU mesh).
+
+    This is the largest XLA:CPU compile in the suite; executing it after
+    ~180 earlier tests' compiles segfaults inside LLVM JIT finalization
+    (cumulative JIT state — the conftest per-module cache clears bound the
+    resident executables but don't reset LLVM itself).  Process isolation
+    makes the scale test deterministic in full-suite order; the assertions
+    are unchanged."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""  # never dial the tunnel from the child
+    env.pop("ZINC_TPU_TEST_TPU", None)
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "from tests.test_parallel import _mesh_prove_2p14_body; "
+         "_mesh_prove_2p14_body()" % root],
+        cwd=root, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert r.returncode == 0, (
+        f"2^14 mesh prove subprocess failed (rc={r.returncode})\n"
+        f"stdout tail: {r.stdout[-2000:]}\nstderr tail: {r.stderr[-2000:]}"
+    )

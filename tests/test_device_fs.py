@@ -84,8 +84,8 @@ def test_device_fs_degree4_terms():
     """Degree-4 combination (a 4-factor term) through the device-FS kernel
     (plain-XLA rounds on CPU; the widened MXU tier itself is pinned by
     test_mxu_twins + the sharded-executor degree-4 test) — byte identity
-    (VERDICT r2 item 8)."""
-    nv = 11
+    (VERDICT r2 item 8).  nv=10 is the smallest FS-driver shape (suite cost)."""
+    nv = 10
     tables_f, stacked = _setup(nv, 4, 7)
     comb = [(CFG.fp(5), (0, 1, 2, 3)), (-CFG.one(), (1, 2, 3)), (CFG.one(), (0, 3))]
 
@@ -108,11 +108,12 @@ def test_device_fs_degree4_terms():
 
 def test_device_fs_gruen_degree4():
     """Gruen FS kernel with a 3-P-factor term (E joins the last factor as
-    the lazy e-side): full byte identity vs the host prover."""
+    the lazy e-side): full byte identity vs the host prover.  nv=10 is the
+    smallest Gruen-eligible shape (suite cost — the compile dominates)."""
     from zinc_tpu.poly.mle import DenseMleF, build_eq_x_r
     from zinc_tpu.sumcheck.device_fs import wants_gruen
 
-    nv = 11
+    nv = 10
     rng = random.Random(8)
     tables_f, stacked = _setup(nv, 3, 8)
     beta = [CFG.fp(rng.randrange(CFG.q)) for _ in range(nv)]

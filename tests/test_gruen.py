@@ -122,11 +122,16 @@ def test_gruen_round_evals_match_host_oracle():
     assert got2 == host2
 
 
-@pytest.mark.parametrize("nv", [10, 11])
+@pytest.mark.parametrize("nv", [10])
 def test_device_fs_gruen_byte_identity(nv):
     """Full Gruen FS kernel (XLA twins) vs the host prover — proof bytes,
     randomness, transcript end state, and the reconstructed eq row that the
-    host tail consumes."""
+    host tail consumes.
+
+    One nv suffices: the r5 durations run showed the nv=11 twin cost +94 s
+    of pure XLA:CPU compile for the same program structure (suite-cost
+    VERDICT r3 item 6); odd/even device-round splits are still covered by
+    test_device_fs_transcript_identical[10,11]."""
     from zinc_tpu.sumcheck.device_fs import prove_as_subprotocol_device_fs, wants_gruen
 
     tabs, beta, eq_tab, comb = _gruen_setup(nv, nv)

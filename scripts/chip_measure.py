@@ -110,6 +110,55 @@ def run_cold():
     print(f"[cold] total incl. interpreter: {time.time()-t0:.1f} s")
 
 
+def run_coldverify():
+    """Cold fresh-process VERIFY: the wall a freshly booted verifier process
+    pays to check ONE 2^20 proof (production bring-up), persistent caches
+    populated.  Process A mints + serializes the proof and runs one verify
+    (warming the verify-side compile caches); process B — the measurement —
+    deserializes the blob and verifies from nothing."""
+    blob_path = "/tmp/zinc_coldverify_2p20.bin"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warm = (
+        "import sys, time; sys.path.insert(0, %r); "
+        "from scripts.chip_measure import _setup; "
+        "from zinc_tpu.serialize import serialize_proof; "
+        "from zinc_tpu.transcript import KeccakTranscript; "
+        "from zinc_tpu.zinc import ZincProver, ZincVerifier; "
+        "from zinc_tpu.prime import draw_random_field; "
+        "ccs, st, wit, zt, t0, cfg = _setup(); "
+        "t = KeccakTranscript(); "
+        "cfg = draw_random_field(st.public_input, t, zt.n_words, 4); "
+        "p = ZincProver(zt, backend='device').prove(st, wit, t, ccs, cfg); "
+        "open(%r, 'wb').write(serialize_proof(p, cfg)); "
+        "t1 = time.time(); "
+        "ZincVerifier(zt, backend='device').verify(st, p, KeccakTranscript(), ccs, cfg); "
+        "print('[coldverify] warming verify: %%.1f s' %% (time.time() - t1))"
+        % (root, blob_path)
+    )
+    cold = (
+        "import sys, time; sys.path.insert(0, %r); "
+        "t_boot = time.time(); "
+        "from scripts.chip_measure import _setup; "
+        "from zinc_tpu.serialize import deserialize_proof; "
+        "from zinc_tpu.transcript import KeccakTranscript; "
+        "from zinc_tpu.zinc import ZincVerifier; "
+        "ccs, st, wit, zt, t0, cfg = _setup(); "
+        "t_setup = time.time(); "
+        "proof = deserialize_proof(open(%r, 'rb').read(), cfg); "
+        "t_deser = time.time(); "
+        "ZincVerifier(zt, backend='device').verify(st, proof, KeccakTranscript(), ccs, cfg); "
+        "t_ver = time.time(); "
+        "print('[coldverify] fresh process: statement build %%.1f s, "
+        "deserialize %%.1f s, verify %%.1f s, total %%.1f s' %% "
+        "(t_setup - t_boot, t_deser - t_setup, t_ver - t_deser, t_ver - t_boot))"
+        % (root, blob_path)
+    )
+    print("[coldverify] warming caches + minting the proof in a subprocess...",
+          flush=True)
+    subprocess.run([sys.executable, "-u", "-c", warm], check=True)
+    subprocess.run([sys.executable, "-u", "-c", cold], check=True)
+
+
 def run_sharded():
     """VERDICT r3 item 5: the only shard-perf evidence obtainable on 1 chip.
 
@@ -269,5 +318,7 @@ if __name__ == "__main__":
         run_verify()
     if what in ("cold", "all"):
         run_cold()
+    if what in ("coldverify", "all"):
+        run_coldverify()
     if what in ("sharded", "all"):
         run_sharded()

@@ -268,6 +268,10 @@ class ZincVerifier:
             try:
                 points = spartan_verify(proof.spartan_proof, ccs_f, transcript, cfg)
             except SpartanError as e:
+                # a daemon thread still inside an XLA dispatch at interpreter
+                # teardown aborts the process — drain it before propagating
+                if forcer is not None:
+                    forcer.join()
                 raise ZincError(f"Spartan verification failed: {e}") from e
 
         self._verify_pcs_proof(
@@ -325,6 +329,10 @@ class ZincVerifier:
             try:
                 verify_poly(pp, zip_proof.z_comm, r_y, zip_proof.v, pcs_transcript, cfg)
             except Exception as e:
+                # drain the background matrix-eval dispatcher (it joins the
+                # upload forcer itself) before propagating — see verify.spartan
+                if dispatcher is not None:
+                    dispatcher.join()
                 raise ZincError(f"PCS verification failed: {e}") from e
 
         # Final check: Σⱼ γʲ·M̃ⱼ(r_x‖r_y)·v == e_y (sparse evaluation)

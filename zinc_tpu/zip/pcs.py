@@ -255,16 +255,19 @@ def verify_poly(
         # from the uploaded `neg` bits — see verify.dispatch_device below)
 
     # integer proximity: Σ_r coeff_r · v_{r,c} must re-encode to the claimed
-    # combined rows at the opened columns.  The opened magnitudes are
-    # uploaded ONCE as u16 limbs (the byte planes for the integer phase and
-    # the field projection are both derived on device) and FORCED in a
-    # background thread, so the ~32 MB rides the bulk transfer path under
-    # the host-side Merkle work below; a lazily-pulled operand would pay the
-    # chunked sync-per-chunk tunnel path instead (utils/transfer.py — the
-    # untracked ~2 s of the r4 verify split).  Only host-side prep happens
-    # here; the device combinations are dispatched after the Merkle fold.
-    deferred: list = []  # (device_array, expected_ndarray, error_message)
-    prox_prepped: list = []  # (coeff_mag8, coeff_sign, expected) per test
+    # combined rows at the opened columns.  The opened magnitudes AND the
+    # expected combinations are uploaded ONCE (the byte planes for the
+    # integer phase and the field projection are both derived on device
+    # from the u16 limbs) and FORCED in a background thread, so the ~32 MB
+    # rides the bulk transfer path under the host-side Merkle work below; a
+    # lazily-pulled operand would pay the chunked sync-per-chunk tunnel
+    # path instead (utils/transfer.py — the untracked ~2 s of the r4 verify
+    # split).  The expected values ride UP too so each check fetches one
+    # boolean instead of downloading the combination on the critical tail
+    # (the r5 battery measured 0.05-2.0 s in that fetch).  Only host-side
+    # prep happens here; the device combinations are dispatched after the
+    # Merkle fold.
+    prox_prepped: list = []  # (coeff_mag8, coeff_sign, dev_expected) per test
     dev_mag16 = dev_neg = None
     up_forcer = None
     if num_rows > 1:
@@ -280,16 +283,18 @@ def verify_poly(
             )  # (R, C=n_open, L16) uint16
             dev_mag16 = jnp.asarray(mag16_rc)
             dev_neg = jnp.asarray(neg.T.astype(np.uint8))  # (R, C)
+
+            out16 = 4 * pp.zt.m_words
+            for coeffs, encoded in prox:
+                c_mag8, c_sign = ints_to_mag8(coeffs, 8 * pp.zt.n_words)
+                expected = ints_to_limbs([encoded[c] for c in cols.tolist()], out16)
+                prox_prepped.append((c_mag8, c_sign, jnp.asarray(expected)))
             up_forcer = threading.Thread(
-                target=force_transfers, args=([dev_mag16, dev_neg],), daemon=True
+                target=force_transfers,
+                args=([dev_mag16, dev_neg] + [e for _, _, e in prox_prepped],),
+                daemon=True,
             )
             up_forcer.start()
-
-        out16 = 4 * pp.zt.m_words
-        for coeffs, encoded in prox:
-            c_mag8, c_sign = ints_to_mag8(coeffs, 8 * pp.zt.n_words)
-            expected = ints_to_limbs([encoded[c] for c in cols.tolist()], out16)
-            prox_prepped.append((c_mag8, c_sign, expected))
     else:
         def _value(i: int, r: int) -> int:
             m = sum(int(mag[i, r, w]) << (64 * w) for w in range(kw))
@@ -305,67 +310,45 @@ def verify_poly(
     # in the byte stream (all already consumed above), so the combined row
     # can be read now and the field-phase device combination dispatched
     # before the host does the Merkle folding.
-    with timed("verify.eval_read_tensor"):
-        q_0_combined_row = transcript.read_field_elements(row_len, cfg)
-        q_0, q_1 = _point_to_tensor(pp.num_rows, point, cfg)
+    # (raises from here until the dispatcher takes over must drain the
+    # upload forcer first — teardown with a daemon thread inside an XLA
+    # transfer aborts the process)
+    try:
+        with timed("verify.eval_read_tensor"):
+            q_0_combined_row = transcript.read_field_elements(row_len, cfg)
+            q_0, q_1 = _point_to_tensor(pp.num_rows, point, cfg)
 
-    if num_rows > 1:
-        from ..poly.device import fps_to_limbs
+        if num_rows > 1:
+            from ..poly.device import fps_to_limbs
 
-        q0_l16 = fps_to_limbs(q_0, cfg)  # host packing; uploaded at dispatch
+            q0_l16 = fps_to_limbs(q_0, cfg)  # host packing; uploaded at dispatch
 
-    # host work while the chip runs: re-encode over the field, check the
-    # evaluation claim, and fold every Merkle path natively
-    with timed("verify.field_reencode"):
-        encoded_combined_row_f = pp.code.encode_f(q_0_combined_row, cfg)
+        # host work while the chip runs: re-encode over the field, check the
+        # evaluation claim, and fold every Merkle path natively
+        with timed("verify.field_reencode"):
+            encoded_combined_row_f = pp.code.encode_f(q_0_combined_row, cfg)
 
-        acc = cfg.zero()
-        for a, b in zip(q_0_combined_row, q_1):
-            acc = acc + a * b
-        if not acc == eval_claim:
-            raise PcsError("evaluation consistency failure")
+            acc = cfg.zero()
+            for a, b in zip(q_0_combined_row, q_1):
+                acc = acc + a * b
+            if not acc == eval_claim:
+                raise PcsError("evaluation consistency failure")
+    except BaseException:
+        if up_forcer is not None:
+            up_forcer.join()
+        raise
 
-    # Merkle: every path must carry the tree depth and fold to the row root
-    if not (
-        pathsec[:, :, :8] == np.frombuffer(depth.to_bytes(8, "big"), np.uint8)
-    ).all():
-        raise MerkleError("inconsistent Merkle path depth")
-    leaves = words.astype(">u8").tobytes()  # LE word order, BE bytes per word
-    from ..hashing.blake3 import blake3
-    from ..native import blake3_batch, merkle_fold_batch_strided
-
-    n_paths = n_open * num_rows
-    with timed("verify.leaf_hash"):
-        leaves_hashed = blake3_batch(leaves, n_paths, kw * 8)
-    if leaves_hashed is None:
-        leaves_hashed = b"".join(
-            blake3(leaves[i * kw * 8 : (i + 1) * kw * 8]) for i in range(n_paths)
-        )
-    indices = np.repeat(cols, num_rows)
-    # fold straight out of the raw proof buffer (record-strided, no copy)
-    with timed("verify.merkle_fold"):
-        folded = merkle_fold_batch_strided(
-            leaves_hashed, raw, val_bytes + 8, rec_bytes, num_rows, 8 + depth * 32,
-            indices, depth,
-        )
-    if folded is not None:
-        folded_arr = np.frombuffer(folded, np.uint8).reshape(n_open, num_rows, 32)
-        roots_arr = np.frombuffer(b"".join(comm.roots), np.uint8).reshape(num_rows, 32)
-        if not np.array_equal(folded_arr, np.broadcast_to(roots_arr, folded_arr.shape)):
-            raise MerkleError("Merkle path verification failed")
-    else:  # pure-Python fallback
-        sib_bytes = np.ascontiguousarray(pathsec[:, :, 8:]).tobytes()
-        for i in range(n_paths):
-            lb = leaves[i * kw * 8 : (i + 1) * kw * 8]
-            pb = sib_bytes[i * depth * 32 : (i + 1) * depth * 32]
-            path = [pb[32 * d : 32 * d + 32] for d in range(depth)]
-            if not verify_merkle_path(comm.roots[i % num_rows], lb, int(indices[i]), path):
-                raise MerkleError("Merkle path verification failed")
-
-    # ---- dispatch the device combinations (operands now forced resident) ---
-    combined_f_dev = None
+    # ---- dispatch the device combinations in the background -----------------
+    # Everything the device phases need is known here (uploads forcing since
+    # upload_openings, expected rows incl. the field re-encode above), so a
+    # background thread joins the upload forcer and DISPATCHES the integer-
+    # and field-phase combinations + on-device compares while the host folds
+    # the Merkle paths below; the tail then fetches one boolean per check.
+    dispatcher = None
+    dispatched: dict = {}  # {"deferred": [(ok, msg)...]} | {"error": e}
     if num_rows > 1:
         from ..fields.integers import combine_rows_signed
+        from ..fields.limbs import ints_to_limbs as _itl
         from ..fields.montgomery import (
             device_field,
             lazy_sum,
@@ -374,52 +357,115 @@ def verify_poly(
         )
         from ..ops.field_map import _wide_to_field
 
-        with timed("verify.dispatch_device"):
-            up_forcer.join()  # the u16 magnitudes + sign grid are resident
-            # integer phase: byte planes derived on device from the u16 limbs
-            # (little-endian within each value: limb j → bytes 2j, 2j+1)
-            eval_mag8 = jnp.stack(
-                [dev_mag16 & jnp.uint16(0xFF), dev_mag16 >> 8], axis=-1
-            ).reshape(num_rows, n_open, kw * 8)
-            eval_sign = 1 - 2 * dev_neg.astype(jnp.int32)  # (R, C) ±1
-            for c_mag8, c_sign, expected in prox_prepped:
-                combined = combine_rows_signed(
-                    jnp.asarray(c_mag8), jnp.asarray(c_sign),
-                    eval_mag8, eval_sign, out16,
-                )  # (n_open, out16) two's-complement limbs, device-resident
-                deferred.append(
-                    (combined, expected, "proximity failure (integer phase)")
+        def _dispatch_device_checks():
+            try:
+                up_forcer.join()  # magnitudes, sign grid + expected resident
+                deferred: list = []  # (device_bool, error_message)
+                # integer phase: byte planes derived on device from the u16
+                # limbs (LE within each value: limb j → bytes 2j, 2j+1)
+                eval_mag8 = jnp.stack(
+                    [dev_mag16 & jnp.uint16(0xFF), dev_mag16 >> 8], axis=-1
+                ).reshape(num_rows, n_open, kw * 8)
+                eval_sign = 1 - 2 * dev_neg.astype(jnp.int32)  # (R, C) ±1
+                for c_mag8, c_sign, dev_expected in prox_prepped:
+                    combined = combine_rows_signed(
+                        jnp.asarray(c_mag8), jnp.asarray(c_sign),
+                        eval_mag8, eval_sign, out16,
+                    )  # (n_open, out16) two's-complement limbs
+                    ok = jnp.all(combined.astype(jnp.uint32) == dev_expected)
+                    deferred.append((ok, "proximity failure (integer phase)"))
+                # field phase: Σ_r q0_r·f(v_{r,c}) over the same buffer
+                ctx = device_field(cfg)
+                mag16_flat = jnp.transpose(dev_mag16, (1, 0, 2)).reshape(
+                    n_open * num_rows, kw * 4
                 )
-            # field phase: Σ_r q0_r·f(v_{r,c}) over the same resident buffer
-            ctx = device_field(cfg)
-            mag16_flat = jnp.transpose(dev_mag16, (1, 0, 2)).reshape(
-                n_open * num_rows, kw * 4
-            )
-            neg_flat = jnp.transpose(dev_neg, (1, 0)).reshape(-1)
-            vals_f = _wide_to_field(ctx, mag16_flat, neg_flat).reshape(
-                n_open, num_rows, cfg.n16
-            )
-            q0_l = jnp.asarray(q0_l16)  # (R, L)
-            prod = mont_mul(ctx, q0_l[None, :, :], vals_f)  # (C, R, L)
-            wide = lazy_sum(ctx, prod, axis=1)  # (C, Lw)
-            combined_f_dev = mod_reduce_wide(ctx, wide)  # (C, L) mont
+                neg_flat = jnp.transpose(dev_neg, (1, 0)).reshape(-1)
+                vals_f = _wide_to_field(ctx, mag16_flat, neg_flat).reshape(
+                    n_open, num_rows, cfg.n16
+                )
+                q0_l = jnp.asarray(q0_l16)  # (R, L)
+                prod = mont_mul(ctx, q0_l[None, :, :], vals_f)  # (C, R, L)
+                wide = lazy_sum(ctx, prod, axis=1)  # (C, Lw)
+                combined_f = mod_reduce_wide(ctx, wide)  # (C, L) mont
+                expected_f = _itl(
+                    [encoded_combined_row_f[c].m for c in cols.tolist()],
+                    cfg.n16,
+                )
+                ok_f = jnp.all(
+                    combined_f.astype(jnp.uint32) == jnp.asarray(expected_f)
+                )
+                deferred.append((ok_f, "proximity failure (field phase)"))
+                dispatched["deferred"] = deferred
+            except BaseException as e:  # re-raised at the fetch point
+                dispatched["error"] = e
 
-    # ---- fetch + compare the deferred device combinations ------------------
+        import threading
+
+        with timed("verify.dispatch_device"):
+            dispatcher = threading.Thread(
+                target=_dispatch_device_checks, daemon=True
+            )
+            dispatcher.start()
+
+    # Merkle: every path must carry the tree depth and fold to the row root.
+    # Any raise below must first JOIN the dispatcher — a daemon thread still
+    # inside an XLA dispatch when the interpreter tears down aborts the
+    # process ("FATAL: exception not rethrown"); the thread always finishes
+    # on its own, so the join is bounded.
+    try:
+        if not (
+            pathsec[:, :, :8] == np.frombuffer(depth.to_bytes(8, "big"), np.uint8)
+        ).all():
+            raise MerkleError("inconsistent Merkle path depth")
+        leaves = words.astype(">u8").tobytes()  # LE word order, BE bytes/word
+        from ..hashing.blake3 import blake3
+        from ..native import blake3_batch, merkle_fold_batch_strided
+
+        n_paths = n_open * num_rows
+        with timed("verify.leaf_hash"):
+            leaves_hashed = blake3_batch(leaves, n_paths, kw * 8)
+        if leaves_hashed is None:
+            leaves_hashed = b"".join(
+                blake3(leaves[i * kw * 8 : (i + 1) * kw * 8]) for i in range(n_paths)
+            )
+        indices = np.repeat(cols, num_rows)
+        # fold straight out of the raw proof buffer (record-strided, no copy)
+        with timed("verify.merkle_fold"):
+            folded = merkle_fold_batch_strided(
+                leaves_hashed, raw, val_bytes + 8, rec_bytes, num_rows,
+                8 + depth * 32, indices, depth,
+            )
+        if folded is not None:
+            folded_arr = np.frombuffer(folded, np.uint8).reshape(n_open, num_rows, 32)
+            roots_arr = np.frombuffer(b"".join(comm.roots), np.uint8).reshape(num_rows, 32)
+            if not np.array_equal(folded_arr, np.broadcast_to(roots_arr, folded_arr.shape)):
+                raise MerkleError("Merkle path verification failed")
+        else:  # pure-Python fallback
+            sib_bytes = np.ascontiguousarray(pathsec[:, :, 8:]).tobytes()
+            for i in range(n_paths):
+                lb = leaves[i * kw * 8 : (i + 1) * kw * 8]
+                pb = sib_bytes[i * depth * 32 : (i + 1) * depth * 32]
+                path = [pb[32 * d : 32 * d + 32] for d in range(depth)]
+                if not verify_merkle_path(comm.roots[i % num_rows], lb, int(indices[i]), path):
+                    raise MerkleError("Merkle path verification failed")
+    except BaseException:
+        if dispatcher is not None:
+            dispatcher.join()
+        raise
+
+    # ---- fetch the deferred device verdicts (one boolean each) -------------
     with timed("verify.fetch_device"):
-        for combined_dev, expected, msg in deferred:
-            if not np.array_equal(np.asarray(combined_dev), expected):
-                raise PcsError(msg)
+        if dispatcher is not None:
+            dispatcher.join()
+            if "error" in dispatched:
+                raise dispatched["error"]
+            for ok_dev, msg in dispatched["deferred"]:
+                if not bool(ok_dev):
+                    raise PcsError(msg)
 
-    # field-phase proximity: Σ_r q0_r·f(v_{r,c}) == encode_f(q0ᵀU)[c]
-    if num_rows > 1:
-        from ..fields.limbs import ints_to_limbs as _itl
-
-        expected_f = _itl(
-            [encoded_combined_row_f[c].m for c in cols.tolist()], cfg.n16
-        )
-        if not np.array_equal(np.asarray(combined_f_dev), expected_f):
-            raise PcsError("proximity failure (field phase)")
-    else:
+    # field-phase proximity for the single-row layout (num_rows > 1 is
+    # checked on device above): f(v_c) == encode_f(q0ᵀU)[c] directly
+    if num_rows == 1:
         for i, c in enumerate(cols.tolist()):
             m = sum(int(mag[i, 0, w]) << (64 * w) for w in range(kw))
             v = -m if neg[i, 0] else m

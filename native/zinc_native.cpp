@@ -12,6 +12,48 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <cstdlib>
+#include <thread>
+#include <vector>
+
+// ---------------------------------------------------------------------------
+// Host parallelism for path-independent batches (Merkle folds, leaf hashes).
+// ZINC_TPU_NATIVE_THREADS overrides (read per call so tests can vary it);
+// default = hardware concurrency.  Chunks stay 16-aligned so the 16-lane
+// AVX-512 blocks never split; each path's output is position-independent,
+// so the split is bit-exact regardless of thread count.
+// ---------------------------------------------------------------------------
+
+static unsigned zn_nthreads() {
+    const char* e = std::getenv("ZINC_TPU_NATIVE_THREADS");
+    if (e && *e) {
+        long v = std::strtol(e, nullptr, 10);
+        return (unsigned)(v < 1 ? 1 : v > 256 ? 256 : v);
+    }
+    unsigned h = std::thread::hardware_concurrency();
+    return h ? h : 1u;
+}
+
+template <class Fn>
+static void zn_parallel_16aligned(uint64_t n, Fn fn) {
+    const uint64_t kMinPerThread = 16 * 16;  // don't spawn under 256 paths/thread
+    unsigned nt = zn_nthreads();
+    if (nt > 1 && n / kMinPerThread < nt) nt = (unsigned)(n / kMinPerThread);
+    if (nt <= 1) {
+        fn((uint64_t)0, n);
+        return;
+    }
+    uint64_t chunk = ((n / nt + 15) / 16) * 16;
+    if (chunk == 0) chunk = 16;
+    std::vector<std::thread> ts;
+    for (unsigned t = 0; t < nt; ++t) {
+        uint64_t lo = (uint64_t)t * chunk;
+        if (lo >= n) break;
+        uint64_t hi = lo + chunk < n ? lo + chunk : n;
+        ts.emplace_back([=] { fn(lo, hi); });
+    }
+    for (auto& th : ts) th.join();
+}
 
 // ---------------------------------------------------------------------------
 // Keccak-f[1600]
@@ -278,12 +320,15 @@ static void b3_compress16_oneblock(const v16 m[16], uint32_t block_len, v16 dig[
 // Strided-path Merkle fold core: path p's siblings live at
 //   sib_base + (p / paths_per_rec) * rec_stride + (p % paths_per_rec) * path_stride
 // (depth consecutive 32-byte digests).  16 paths folded per vector group.
+// Folds paths with GLOBAL indices in [q0, q1) — callers may split the batch
+// across threads at 16-aligned boundaries (record/sibling addressing uses
+// the global path index, so chunk offsets need no rebasing).
 static void merkle_fold_core(const uint8_t* leaves, const uint8_t* sib_base,
                              uint64_t rec_stride, uint64_t paths_per_rec,
-                             uint64_t path_stride, const uint64_t* indices, uint64_t n,
-                             uint64_t depth, uint8_t* out) {
-    uint64_t p = 0;
-    for (; p + 16 <= n; p += 16) {
+                             uint64_t path_stride, const uint64_t* indices, uint64_t q0,
+                             uint64_t q1, uint64_t depth, uint8_t* out) {
+    uint64_t p = q0;
+    for (; p + 16 <= q1; p += 16) {
         const uint8_t* sib_ptr[16];
         uint64_t idx[16];
         v16 dig[8];
@@ -323,7 +368,7 @@ static void merkle_fold_core(const uint8_t* leaves, const uint8_t* sib_base,
             std::memcpy(out + 32 * (p + l), ow, 32);
         }
     }
-    for (; p < n; ++p) {  // scalar tail
+    for (; p < q1; ++p) {  // scalar tail
         uint8_t cur[64], digest[32];
         std::memcpy(digest, leaves + 32 * p, 32);
         const uint8_t* sp = sib_base + (p / paths_per_rec) * rec_stride +
@@ -399,15 +444,22 @@ static void blake3_batch_short(const uint8_t* data, uint64_t n, uint64_t msg_len
 // n equal-length messages, contiguous with the given stride.
 void zn_blake3_batch(const uint8_t* data, uint64_t n, uint64_t msg_len, uint8_t* out) {
     if (msg_len <= 64) {
-        blake3_batch_short(data, n, msg_len, out);
+        zn_parallel_16aligned(n, [&](uint64_t lo, uint64_t hi) {
+            blake3_batch_short(data + lo * msg_len, hi - lo, msg_len, out + 32 * lo);
+        });
         return;
     }
-    for (uint64_t i = 0; i < n; ++i) zn_blake3(data + i * msg_len, msg_len, out + 32 * i);
+    zn_parallel_16aligned(n, [&](uint64_t lo, uint64_t hi) {
+        for (uint64_t i = lo; i < hi; ++i)
+            zn_blake3(data + i * msg_len, msg_len, out + 32 * i);
+    });
 }
 
 // n digest pairs (64 bytes each) -> n parent digests (Merkle level merge).
 void zn_blake3_merge_batch(const uint8_t* pairs, uint64_t n, uint8_t* out) {
-    blake3_batch_short(pairs, n, 64, out);
+    zn_parallel_16aligned(n, [&](uint64_t lo, uint64_t hi) {
+        blake3_batch_short(pairs + lo * 64, hi - lo, 64, out + 32 * lo);
+    });
 }
 
 // Verify a batch of Merkle paths: for each of n leaves, fold `depth`
@@ -417,7 +469,10 @@ void zn_blake3_merge_batch(const uint8_t* pairs, uint64_t n, uint8_t* out) {
 // compares against the committed roots.
 void zn_merkle_fold_batch(const uint8_t* leaves, const uint8_t* siblings,
                           const uint64_t* indices, uint64_t n, uint64_t depth, uint8_t* out) {
-    merkle_fold_core(leaves, siblings, 0, n ? n : 1, depth * 32, indices, n, depth, out);
+    zn_parallel_16aligned(n, [&](uint64_t lo, uint64_t hi) {
+        merkle_fold_core(leaves, siblings, 0, n ? n : 1, depth * 32, indices, lo, hi,
+                         depth, out);
+    });
 }
 
 // Strided variant: paths_per_rec paths per record, records rec_stride bytes
@@ -427,8 +482,10 @@ void zn_merkle_fold_batch_strided(const uint8_t* leaves, const uint8_t* sib_base
                                   uint64_t rec_stride, uint64_t paths_per_rec,
                                   uint64_t path_stride, const uint64_t* indices, uint64_t n,
                                   uint64_t depth, uint8_t* out) {
-    merkle_fold_core(leaves, sib_base, rec_stride, paths_per_rec, path_stride, indices, n,
-                     depth, out);
+    zn_parallel_16aligned(n, [&](uint64_t lo, uint64_t hi) {
+        merkle_fold_core(leaves, sib_base, rec_stride, paths_per_rec, path_stride,
+                         indices, lo, hi, depth, out);
+    });
 }
 
 }  // extern "C"

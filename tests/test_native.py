@@ -64,6 +64,35 @@ def test_blake3_batch_and_merkle_fold(lib):
     assert folded == root
 
 
+def test_native_threading_bit_exact(lib):
+    """ZINC_TPU_NATIVE_THREADS splits batches across std::thread at 16-aligned
+    chunks (production verifiers run many-core hosts; this VM has 1) — the
+    outputs must be byte-identical for every thread count, including chunk
+    boundaries that don't divide the batch."""
+    import os
+    from unittest import mock
+
+    rng = random.Random(7)
+    n, depth = 1000, 5  # not 16-aligned; > the 256/thread spawn floor
+    leaves = b"".join(bytes(rng.randrange(256) for _ in range(32)) for _ in range(n))
+    sibs = b"".join(
+        bytes(rng.randrange(256) for _ in range(depth * 32)) for _ in range(n)
+    )
+    idx = [rng.randrange(1 << depth) for _ in range(n)]
+    msgs = b"".join(bytes(rng.randrange(256) for _ in range(48)) for _ in range(n))
+
+    results = {}
+    for t in ("1", "3", "16"):
+        with mock.patch.dict(os.environ, {"ZINC_TPU_NATIVE_THREADS": t}):
+            results[t] = (
+                merkle_fold_batch(leaves, sibs, idx, depth),
+                blake3_batch(msgs, n, 48),
+            )
+    assert results["1"] == results["3"] == results["16"]
+    # and the single-thread result matches the pure-Python oracle spot-wise
+    assert results["1"][1][:32] == blake3_py(msgs[:48])
+
+
 def test_host_merkle_native_matches_fallback():
     """from_leaves via the batched native tier == pure-Python layer build."""
     import random

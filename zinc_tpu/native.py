@@ -27,7 +27,7 @@ _tried = False
 def _build() -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-o", _LIB, _SRC,
+        "-pthread", "-o", _LIB, _SRC,
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=240)

@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# On-chip ritual (round 4) — run whenever the axon tunnel is up.
+# On-chip ritual (round 5) — run whenever the axon tunnel is up.
 # Every step logs to $LOGDIR and keeps going on failure so one flaky
 # stage doesn't lose the session.  Order: cheap smoke first, then the
 # headline bench (+ TILE sweep), then the long prove/verify/cold battery.
@@ -50,6 +50,9 @@ step verify 7200 env ZINC_TPU_TRACE=1 python scripts/chip_measure.py verify
 
 # 6. cold-start fresh-process prove (item 6; export cache + XLA cache)
 step cold 7200 env ZINC_TPU_TRACE=1 python scripts/chip_measure.py cold
+
+# 6b. cold fresh-process VERIFY (r5: production verifier bring-up)
+step coldverify 7200 python scripts/chip_measure.py coldverify
 
 # 7. sharded tier on the real chip (VERDICT r3 item 5): 1-device-mesh
 #    round vs unsharded round (shard_map overhead) + one-sync FS wall

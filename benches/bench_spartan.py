@@ -39,16 +39,28 @@ def main() -> None:
         ds = DeviceStatement.upload(cfg, statement)
         z_f = z_to_device(cfg, z_ccs)
 
+        # Criterion-style warm measurement (first pass = traces/compiles)
+        def prove():
+            tp = KeccakTranscript()
+            cfg_p = draw_random_field(statement.public_input, tp, 1, 4)
+            assert cfg_p == cfg
+            return spartan_prove_device(ds, z_f, ccs, tp, cfg)[0]
+
+        prove()
         t0 = time.perf_counter()
-        proof, _, _ = spartan_prove_device(ds, z_f, ccs, t, cfg)
+        proof = prove()
         prove_s = time.perf_counter() - t0
 
         ccs_f = ccs.map_to_field(cfg)
-        tv = KeccakTranscript()
-        cfg_v = draw_random_field(statement.public_input, tv, 1, 4)
-        assert cfg_v == cfg
+
+        def verify():
+            tv = KeccakTranscript()
+            assert draw_random_field(statement.public_input, tv, 1, 4) == cfg
+            spartan_verify(proof, ccs_f, tv, cfg)
+
+        verify()
         t0 = time.perf_counter()
-        spartan_verify(proof, ccs_f, tv, cfg)
+        verify()
         verify_s = time.perf_counter() - t0
 
         print(json.dumps({"metric": f"spartan_prove_2p{log_n}", "value": round(prove_s * 1e3, 1), "unit": "ms"}))

@@ -92,3 +92,14 @@ def test_example_runs():
     from zinc_tpu.examples.simple_r1cs import run_example
 
     run_example(3, verbose=False)
+
+
+def test_mesh_example_runs():
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    from zinc_tpu.examples.mesh_prove import run_example
+
+    run_example(log_n=6, verbose=False)

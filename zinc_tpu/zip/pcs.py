@@ -265,8 +265,9 @@ def verify_poly(
     # split).  The expected values ride UP too so each check fetches one
     # boolean instead of downloading the combination on the critical tail
     # (the r5 battery measured 0.05-2.0 s in that fetch).  Only host-side
-    # prep happens here; the device combinations are dispatched after the
-    # Merkle fold.
+    # prep happens here; a background thread dispatches the device
+    # combinations once the field re-encode lands, overlapping the host
+    # Merkle fold below.
     prox_prepped: list = []  # (coeff_mag8, coeff_sign, dev_expected) per test
     dev_mag16 = dev_neg = None
     up_forcer = None
